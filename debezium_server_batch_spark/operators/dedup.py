@@ -1,0 +1,108 @@
+"""Last-writer-wins (LWW) per-key deduplication — SURVEY.md §2.7.
+
+The reference never dedups (append-only ledger); the north_rule spec is
+last-writer-wins per url ordered by (__lsn, warc_ts), ties broken by
+offset, so the total order is deterministic and replay is byte-identical.
+
+Three equivalent implementations (property-tested equal):
+
+  * ``lww_window``  — row_number over Window.partitionBy(key). The
+    textbook form; skew-fragile: one hot url = one giant partition on
+    one task.
+  * ``lww_agg``     — groupBy(key).max(struct(order..., row)). Spark
+    plans this as partial_max (map-side combine) → shuffle → final_max,
+    so a hot key is pre-reduced on every input partition before the
+    shuffle; at 10^10 events with Zipf keys this is the scale winner.
+  * ``lww_salted``  — explicit two-phase salted reduce
+    (groupBy(key, salt) → groupBy(key)) for engines/planners where the
+    partial aggregation can't be relied on; also documents the pattern.
+
+All return exactly one row per key with the original columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_ORDER = ("__lsn", "__source_ts_ms", "offset")
+
+
+def _order_cols(df: DataFrame, order_by: tuple[str, ...]) -> list[str]:
+    missing = [c for c in order_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"order columns missing from batch: {missing}")
+    return list(order_by)
+
+
+def lww_window(df: DataFrame, key: str = "url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
+    order = _order_cols(df, order_by)
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _max_struct(df: DataFrame, order: list[str]):
+    """max(struct(order_cols..., full_row)) — struct comparison is
+    lexicographic by field position, giving the LWW total order."""
+    payload = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    return F.max(F.struct(*[F.col(c) for c in order], payload)).alias("_m")
+
+
+def lww_agg(df: DataFrame, key: str = "url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
+    order = _order_cols(df, order_by)
+    cols = df.columns
+    return (
+        df.groupBy(key)
+        .agg(_max_struct(df, order))
+        .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
+    )
+
+
+def lww_salted(
+    df: DataFrame,
+    key: str = "url",
+    order_by: tuple[str, ...] = DEFAULT_ORDER,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Explicit two-phase salted reduce for hot-key skew: phase 1 reduces
+    each (key, salt) cell locally — a hot key becomes `salt_buckets`
+    bounded cells spread across the cluster — phase 2 reduces the ≤
+    `salt_buckets` survivors per key. Provably equivalent to lww_agg
+    because max is associative/commutative over the same total order."""
+    order = _order_cols(df, order_by)
+    cols = df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets)).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(_max_struct(df.drop("_salt") if "_salt" in df.columns else df, order))
+        .select(F.col(key).alias("_k"), F.col("_m"))
+    )
+    return (
+        phase1.groupBy("_k")
+        .agg(F.max("_m").alias("_m"))
+        .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_by: str | None = None) -> DataFrame:
+    """Exact duplicate removal over `cols` (default: all columns).
+
+    With ``keep_by`` given, keeps the row with the smallest value of that
+    column per duplicate group (deterministic representative); otherwise
+    a plain distinct(). Both are hash-aggregate shuffles with map-side
+    partial aggregation — no window, no skew cliff."""
+    if cols is None:
+        cols = df.columns
+    if keep_by is None:
+        return df.select(*cols).distinct()
+    payload = F.struct(F.col(keep_by), F.struct(*[F.col(c) for c in df.columns]).alias("_row"))
+    return (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(F.min(payload).alias("_m"))
+        .select(*[F.col(f"_m._row.{c}").alias(c) for c in df.columns])
+    )

@@ -1,0 +1,161 @@
+"""Envelope deserialization + schema grouping (SURVEY.md S2-S5, G1-G2).
+
+The unit of data is a Debezium change event: destination (topic → table)
+plus a ``{"schema": <connect-json-schema>, "payload": <flat-row>}`` value
+envelope (reference: AbstractChangeConsumer.java:106-119, DebeziumEvent).
+
+Reference pipeline per micro-batch: group events by destination, then by
+exact value schema so each upload sees one uniform schema
+(AbstractChangeConsumer.java:120-131); convert the Connect schema to a
+Spark StructType and parse (BatchSparkChangeConsumer.java:85-96).
+
+Spark-first re-expression — everything stays distributed:
+
+  1. tombstone filter (value IS NULL) — P3
+  2. one narrow projection splits schema/payload (``get_json_object``)
+     and fingerprints the schema text with ``xxhash64`` — per-row work is
+     two JSON pointer lookups + a 64-bit hash, all JVM-side codegen
+  3. a tiny aggregation (distinct schema hash → first schema doc,
+     min offset) is collected — #distinct schemas per batch is O(1),
+     bounded by DDL changes inside the batch, so the collect is bytes
+  4. per schema-group, ``F.from_json(payload, compiled_struct)`` parses
+     rows with an explicit schema (no inference pass over the data)
+
+At 100 TB this plan is: one scan with pushed filters, a shuffle only for
+the distinct-schemas agg (32 rows), then per-group narrow projections.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.connect_schema import compile_connect_schema
+
+# Raw event-log columns (sources/event_log.py contract)
+OFFSET = "offset"
+DESTINATION = "destination"
+KEY = "key"
+VALUE = "value"
+
+
+@dataclass
+class SchemaGroup:
+    """One (destination, value-schema) group of a micro-batch — the unit
+    the reference uploads (AbstractChangeConsumer.java:132-134)."""
+
+    destination: str
+    schema_hash: int
+    schema_json: str | None
+    min_offset: int
+    row_count_hint: int
+    struct: T.StructType | None
+    df: DataFrame  # typed payload columns + `offset`
+
+
+def filter_tombstones(df: DataFrame) -> DataFrame:
+    """P3: drop events with null value (post-unwrap tombstones) —
+    reference AbstractChangeConsumer.java:184-187."""
+    return df.filter(F.col(VALUE).isNotNull())
+
+
+def split_envelope(df: DataFrame) -> DataFrame:
+    """S2/S3: add `payload`, `schema_str`, `schema_hash` columns.
+
+    NULL schema (schemas.enable=false) hashes to a sentinel so the
+    grouping still works; parse then falls back to inference (S5)."""
+    return df.withColumns(
+        {
+            "payload": F.get_json_object(F.col(VALUE), "$.payload"),
+            "schema_str": F.get_json_object(F.col(VALUE), "$.schema"),
+        }
+    ).withColumn("schema_hash", F.coalesce(F.xxhash64("schema_str"), F.lit(0)))
+
+
+def _infer_struct(spark, payload_samples: list[str]) -> T.StructType:
+    """S5 fallback: infer a schema from driver-collected sample payloads
+    (schemas disabled). Used only off the hot path."""
+    sdf = spark.createDataFrame([(s,) for s in payload_samples], "payload string")
+    return spark.read.json(sdf.rdd.map(lambda r: r.payload)).schema
+
+
+def parse_envelope_batch(
+    df: DataFrame,
+    extra_cols: tuple[str, ...] = (OFFSET,),
+    infer_samples: int = 100,
+) -> list[SchemaGroup]:
+    """Parse a raw micro-batch into typed per-(destination, schema)
+    groups, ordered by (destination, min offset) so that schema changes
+    inside the batch apply in log order (SURVEY.md G2 'hard part').
+    """
+    spark = df.sparkSession
+    ev = split_envelope(filter_tombstones(df))
+
+    groups_meta = (
+        ev.groupBy(DESTINATION, "schema_hash")
+        .agg(
+            F.first("schema_str", ignorenulls=True).alias("schema_str"),
+            F.min(OFFSET).alias("min_offset"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(DESTINATION, "min_offset")
+        .collect()
+    )
+
+    out: list[SchemaGroup] = []
+    for row in groups_meta:
+        struct = compile_connect_schema(row["schema_str"])
+        grp = ev.filter(
+            (F.col(DESTINATION) == row[DESTINATION]) & (F.col("schema_hash") == row["schema_hash"])
+        )
+        if struct is None:
+            samples = [r[0] for r in grp.select("payload").limit(infer_samples).collect()]
+            struct = _infer_struct(spark, samples)
+        typed = grp.select(
+            *[F.col(c) for c in extra_cols],
+            F.from_json("payload", struct).alias("_row"),
+        ).select(*extra_cols, "_row.*")
+        out.append(
+            SchemaGroup(
+                destination=row[DESTINATION],
+                schema_hash=row["schema_hash"],
+                schema_json=row["schema_str"],
+                min_offset=row["min_offset"],
+                row_count_hint=row["n"],
+                struct=struct,
+                df=typed,
+            )
+        )
+    return out
+
+
+def rewrite_destination(destination: str, regexp: str | None = None, replacement: str = "", prefix: str = "") -> str:
+    """P5: destination/table-name rewrite — driver-side metadata op
+    (reference BatchSparkChangeConsumer.java:137-147)."""
+    import re
+
+    name = destination
+    if regexp:
+        name = re.sub(regexp, replacement, name)
+    return f"{prefix}{name}"
+
+
+def envelope_value(payload_struct_col, schema_json: str) -> F.Column:
+    """Build a `{"schema":...,"payload":...}` envelope string column —
+    used by the synthetic generator; schema doc is a per-epoch literal so
+    the concat is pure codegen."""
+    return F.concat(
+        F.lit('{"schema":'),
+        F.lit(schema_json),
+        F.lit(',"payload":'),
+        F.to_json(payload_struct_col),
+        F.lit("}"),
+    )
+
+
+def parsed_schema_catalog(groups: list[SchemaGroup]) -> dict[int, str]:
+    return {g.schema_hash: g.schema_json for g in groups if g.schema_json}

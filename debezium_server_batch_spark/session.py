@@ -1,0 +1,72 @@
+"""SparkSession construction (reference parity: R1/R2, F7 in SURVEY.md §2.6).
+
+The reference builds a local SparkSession with pass-through config
+(`AbstractSparkChangeConsumer.java:30-32,55-72`; config subset extraction
+`BatchUtil.java:30-41`). We do the same, with scale-oriented defaults:
+AQE on, shuffle partitions sized to cores, Arrow enabled for pandas UDFs,
+UTC session timezone (oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "CDC-Batch-Spark-Sink"  # reference: AbstractSparkChangeConsumer.java:31
+
+
+def spark_config_subset(config: dict, prefix: str = "spark.") -> dict:
+    """Extract the pass-through Spark tuning subset of a config dict.
+
+    Reference parity: everything under ``debezium.sink.sparkbatch.`` is
+    forwarded into SparkConf (`BatchUtil.java:30-41`). Ours: every key
+    that starts with ``prefix`` is forwarded verbatim.
+    """
+    return {k: v for k, v in config.items() if k.startswith(prefix)}
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = APP_NAME,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a SparkSession with CDC-ingest defaults.
+
+    ``master=None`` defers to spark-submit (multi-executor clusters);
+    tests pass ``local[N]`` explicitly.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, str(v))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+@contextmanager
+def session_scope(**kwargs):
+    """Context-managed session (reference parity: stop on shutdown, R2)."""
+    spark = build_session(**kwargs)
+    try:
+        yield spark
+    finally:
+        spark.stop()

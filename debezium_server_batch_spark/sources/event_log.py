@@ -1,0 +1,46 @@
+"""Change-event batch source (SURVEY.md S1, F3's queue probe, F5 metrics).
+
+The reference is handed micro-batches by the embedded Debezium engine
+(`handleBatch`, AbstractChangeConsumer.java:100-148) — a pull model over
+the binlog. Our source re-expresses that as offset-windowed reads over a
+durable event-log table (Parquet/any Spark source) with columns:
+
+    offset       long     -- monotone source position (the LSN)
+    destination  string   -- topic → target table name
+    key          string   -- Debezium key envelope (JSON)
+    value        string   -- {"schema":..., "payload":...} envelope (JSON)
+
+Offset-range predicates push down to the Parquet scan (min/max row-group
+pruning), so `read_slice` touches only the files covering the window —
+this is what makes replay of a 10^10-event log from a checkpoint cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EventLogSource:
+    def __init__(self, spark: SparkSession, path: str, offset_col: str = "offset"):
+        self.spark = spark
+        self.path = path
+        self.offset_col = offset_col
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_slice(self, lo: int, hi: int) -> DataFrame:
+        """Events with lo < offset <= hi (predicate pushed to the scan)."""
+        c = F.col(self.offset_col)
+        return self.df().filter((c > F.lit(lo)) & (c <= F.lit(hi)))
+
+    def max_offset(self) -> int | None:
+        row = self.df().agg(F.max(self.offset_col)).first()
+        return row[0]
+
+    def pending_count(self, after_offset: int) -> int:
+        """Unconsumed-event count — our analogue of the reference's JMX
+        queue-size probe driving MaxBatchSizeWait (DebeziumMetrics.java:
+        60-109): poll how much log exists past the checkpoint."""
+        return self.df().filter(F.col(self.offset_col) > F.lit(after_offset)).count()

@@ -1,0 +1,2 @@
+from .pacing import DynamicBatchSizeWait, MaxBatchSizeWait, NoBatchSizeWait, select_batch_size_wait  # noqa: F401
+from .runner import CdcPipeline, PipelineConfig  # noqa: F401
