@@ -43,7 +43,7 @@ def make_cosine_to_query_udf(query_vec: list[float]):
     @F.pandas_udf(T.DoubleType())
     def cos_to_query(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batch_iter:
-            m = np.stack(s.to_numpy())  # (rows, dim)
+            m = np.stack(s.to_numpy()).astype(np.float64)  # (rows, dim)
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
             yield pd.Series(sims)
 

@@ -36,10 +36,22 @@ def minhash_signature(
     shingle_k: int = 5,
 ) -> DataFrame:
     """(id, sig array<long>) — sig[j] = min over shingles of
-    xxhash64(seed_j, shingle). One narrow projection, no shuffle."""
+    xxhash64(seed_j, shingle). One narrow projection, no shuffle.
+
+    Built as ONE lambda emitting all num_hashes hashes per shingle,
+    folded with an elementwise-min zip_with. (Building num_hashes
+    separate transform() lambdas inside one expression silently collapses
+    them — PySpark lambda-variable collision — so don't "simplify" this
+    back to a list comprehension of array_min(transform(...)).)"""
     sh = shingles(F.col(text_col), k=shingle_k)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s))) for j in range(num_hashes)]
+    max_long = (1 << 63) - 1
+    per_shingle = F.transform(
+        sh, lambda s: F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_hashes)])
+    )
+    sig = F.aggregate(
+        per_shingle,
+        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -148,23 +160,26 @@ def minhash_near_dupes(
 
 def simhash64(text_col) -> F.Column:
     """64-bit SimHash of whitespace tokens: per bit, majority vote of the
-    token-hash bits. Pure nested higher-order expressions (codegen)."""
+    token-hash bits. One aggregate folds all 64 vote counters at once
+    (separate per-bit lambdas in one expression collide — see
+    minhash_signature note)."""
+    width = 63  # bits 0..62: keeps the packed long non-negative (ANSI-safe)
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(b):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out.bitwiseOR(
-            F.when(bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    bit_idx = F.sequence(F.lit(0), F.lit(width - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), width),
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, b: a + F.when(F.getbit(h, b) == 1, 1).otherwise(-1)
+        ),
+    )
+    # pack MSB-first: acc*2 + bit — stays < 2^63, no ANSI overflow
+    return F.aggregate(
+        F.reverse(F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
 
 
 def hamming64(a, b) -> F.Column:
@@ -184,21 +199,21 @@ def simhash_near_dupes(
     exact Hamming distance."""
     width = 64 // chunks
     h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
-    chunked = h.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("sh"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("cval"),
-                ),
+    # chunk indices are plain Python ints → unrolled, no lambda needed
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sh"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("cval"),
             )
-        ).alias("cc"),
-    ).select("id", "sh", "cc.chunk", "cc.cval")
+            for c in range(chunks)
+        ]
+    )
+    chunked = h.select("id", "sh", F.explode(chunk_structs).alias("cc")).select(
+        "id", "sh", "cc.chunk", "cc.cval"
+    )
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(
@@ -264,7 +279,8 @@ def embedding_near_dupes(
 
     @F.pandas_udf(T.DoubleType())
     def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma, mb = np.stack(va.to_numpy()), np.stack(vb.to_numpy())
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
         num = (ma * mb).sum(axis=1)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / den)

@@ -230,7 +230,21 @@ class LakeTable:
     # read
     # ------------------------------------------------------------------
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Current live rows. Delete tombstones are physically retained
+        (so replaying *any* stale batch stays a no-op — see merge) and
+        filtered here unless include_deleted=True."""
+        df = self._read_raw(version, buckets)
+        if not include_deleted and "__deleted" in df.columns:
+            df = df.filter(~F.coalesce(F.col("__deleted").cast("boolean"), F.lit(False)))
+        return df
+
+    def _read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
         snap = self.snapshot(version)
         current = self.schema(snap)
         wanted = set(map(str, buckets)) if buckets is not None else None
@@ -338,13 +352,17 @@ class LakeTable:
         plus the order_by columns. Semantics per key, equivalent to:
 
             MERGE INTO t USING s ON t.key = s.key
-            WHEN MATCHED AND s.deleted AND s.order >= t.order THEN DELETE
-            WHEN MATCHED AND s.order >= t.order THEN UPDATE SET *
-            WHEN NOT MATCHED AND NOT s.deleted THEN INSERT *
+            WHEN MATCHED AND s.order >= t.order THEN UPDATE SET *   -- incl. tombstones
+            WHEN NOT MATCHED THEN INSERT *                          -- incl. tombstones
 
-        The `s.order >= t.order` guard makes replaying any suffix of the
-        log a no-op (idempotence keyed on (url, __lsn) — exactly-once
-        under at-least-once delivery).
+        Deletes become *retained tombstone rows* (``deleted_col`` true)
+        that `read()` filters out. Retention is what makes replaying ANY
+        stale batch a no-op — not just a suffix: without a tombstone, a
+        replayed pre-delete upsert would resurrect the key. Combined with
+        the `s.order >= t.order` guard this gives idempotence keyed on
+        (url, __lsn) — exactly-once under at-least-once delivery.
+        `purge_tombstones()` reclaims space once replay beyond the
+        checkpoint horizon is impossible.
 
         Physical plan: bucket-pruned copy-on-write. Only buckets present
         in the batch are read and rewritten; the join runs with both
@@ -363,16 +381,15 @@ class LakeTable:
             str(r[0])
             for r in batch.select(self._bucket_expr(snap).alias("_b")).distinct().collect()
         ]
-        target = conform(self.read(buckets=[int(b) for b in affected]), evolved)
+        target = conform(self._read_raw(buckets=[int(b) for b in affected]), evolved)
         source = conform(batch, evolved)
 
         s_order = F.struct(*[F.col(f"_s.{c}") for c in order_by])
         t_order = F.struct(*[F.col(f"_t.{c}") for c in order_by])
         s_present = F.col(f"_s.{key}").isNotNull()
         t_present = F.col(f"_t.{key}").isNotNull()
-        s_deleted = F.coalesce(F.col(f"_s.{deleted_col}").cast("boolean"), F.lit(False))
         newer = s_present & (~t_present | (s_order >= t_order))
-        keep_s = newer & ~s_deleted
+        keep_s = newer
         keep_t = t_present & ~newer
 
         merged = (
@@ -415,9 +432,17 @@ class LakeTable:
         """Rewrite every bucket to one file under the current schema —
         the small-file compaction Iceberg does with rewrite_data_files.
         Micro-batch CoW accumulates small files; run this periodically."""
+        return self._rewrite_all(self._read_raw(), "compact")
+
+    def purge_tombstones(self) -> int:
+        """Drop retained delete tombstones. Safe once no replay older
+        than the current checkpoint can occur (the runner only replays
+        from the checkpoint forward)."""
+        return self._rewrite_all(self.read(include_deleted=False), "purge-tombstones")
+
+    def _rewrite_all(self, df: DataFrame, operation: str) -> int:
         snap = self.snapshot()
         sid = snap["current_schema_id"]
-        df = self.read()
         new_files = self._write_files(df, snap, sid)
         return self._commit(
             {
@@ -427,7 +452,7 @@ class LakeTable:
                 "buckets": new_files,
                 "checkpoint": snap.get("checkpoint"),
                 "lineage": [],
-                "summary": {"operation": "compact"},
+                "summary": {"operation": operation},
             }
         )
 

@@ -1,0 +1,196 @@
+"""North-star consumer tests (BASELINE.json): upsert, delete-tombstone,
+schema-change, restart-resume — pytest assertions on LakeTable snapshots
+after replaying a deterministic synthetic event log, verified against an
+independent DuckDB oracle that computes LWW final state straight from the
+raw envelope JSON (no shared engine code)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.functions.text import extract_text
+from debezium_server_batch_spark.plans.laketable import LakeTable
+from debezium_server_batch_spark.sources.synth import generate_event_log, write_event_log
+from debezium_server_batch_spark.streaming.runner import CdcPipeline, PipelineConfig
+
+N_PAGES = 120
+N_HOT = 2
+HOT_K = 12
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cdc") / "log")
+    write_event_log(
+        generate_event_log(spark, n_pages=N_PAGES, n_hot=N_HOT, hot_k=HOT_K, seed=42), p, n_files=4
+    )
+    return p
+
+
+def _cfg(log_path, root, **kw):
+    return PipelineConfig(
+        log_path=log_path, table_root=root, batch_window=kw.pop("batch_window", 400),
+        num_buckets=8, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, log_path, tmp_path_factory):
+    """One full replay — shared by the assertion tests below."""
+    root = str(tmp_path_factory.mktemp("cdc") / "pages")
+    stats = CdcPipeline(spark, _cfg(log_path, root)).run()
+    return root, stats
+
+
+def oracle_final_state(log_path: str):
+    """Independent LWW oracle in DuckDB over the raw envelope JSON."""
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        WITH parsed AS (
+          SELECT
+            json_extract_string(value, '$.payload.url')   AS url,
+            CAST(json_extract(value, '$.payload.__lsn') AS BIGINT) AS lsn,
+            json_extract_string(value, '$.payload.__deleted') AS deleted,
+            json_extract_string(value, '$.payload.text')  AS text,
+            json_extract_string(value, '$.payload.lang')  AS lang,
+            json_extract_string(value, '$.payload.title') AS title,
+            CAST(json_extract(value, '$.payload.warc_ts_ms') AS BIGINT) AS warc_ts_ms
+          FROM read_parquet('{log_path}/*.parquet')
+          WHERE value IS NOT NULL
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+          FROM parsed
+        )
+        SELECT url, lsn, text, lang, title, warc_ts_ms
+        FROM ranked WHERE rn = 1 AND deleted = 'false'
+        ORDER BY url
+        """
+    ).fetchall()
+
+
+def spark_final_state(spark, root):
+    t = LakeTable.load(spark, root)
+    return [
+        tuple(r)
+        for r in t.read()
+        .select("url", "__lsn", "text", "lang", "title", (F.unix_millis(F.col("warc_ts"))).alias("ms"))
+        .orderBy("url")
+        .collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_upsert(spark, log_path, replayed):
+    """Final table state == oracle LWW state, exactly (north_star test 1)."""
+    root, stats = replayed
+    expected = oracle_final_state(log_path)
+    actual = spark_final_state(spark, root)
+    assert len(actual) == len(expected) > 0
+    assert actual == expected
+    assert stats.events > 0 and stats.batches > 1
+    # hot url carries its last revision
+    hot = [r for r in actual if r[0].endswith("/page/0")]
+    assert hot and hot[0][2].endswith(f"rev{HOT_K - 1}")
+
+
+def test_delete_tombstone(spark, log_path, replayed):
+    """Pages whose last event is a delete are absent; delete+re-insert
+    pages survive with the re-inserted revision (north_star test 2)."""
+    root, _ = replayed
+    con = duckdb.connect()
+    last_ops = con.execute(
+        f"""
+        WITH parsed AS (
+          SELECT json_extract_string(value, '$.payload.url') AS url,
+                 CAST(json_extract(value, '$.payload.__lsn') AS BIGINT) AS lsn,
+                 json_extract_string(value, '$.payload.__op') AS op
+          FROM read_parquet('{log_path}/*.parquet')
+        )
+        SELECT url, arg_max(op, lsn) AS last_op, count(*) FILTER (op = 'd') AS n_deletes
+        FROM parsed GROUP BY url
+        """
+    ).fetchall()
+    dropped = {u for u, op, _ in last_ops if op == "d"}
+    reinserted = {u for u, op, nd in last_ops if op != "d" and nd > 0}
+    assert dropped and reinserted, "generator must cover both scenarios"
+    live = {r["url"] for r in LakeTable.load(spark, root).read().select("url").collect()}
+    assert not dropped & live
+    assert reinserted <= live
+
+
+def test_schema_change(spark, log_path, tmp_path):
+    """Replaying only the pre-evolution prefix yields a table without
+    `title`; resuming through the evolution adds the column, null for
+    rows last updated before it (north_star test 3)."""
+    root = str(tmp_path / "pages")
+    # revs 0..1 live at offsets < 2*N_PAGES (offset = rev*N_PAGES + page)
+    pipe = CdcPipeline(spark, _cfg(log_path, root, batch_window=2 * N_PAGES))
+    pipe.run(max_batches=1)
+    t = LakeTable.load(spark, root)
+    assert "title" not in [f.name for f in t.schema().fields]
+    pipe.run()  # consume the rest, crossing the schema epoch
+    t = LakeTable.load(spark, root)
+    cols = [f.name for f in t.schema().fields]
+    assert "title" in cols
+    df = t.read()
+    assert df.filter(F.col("title").isNotNull()).count() > 0
+    # schema catalog kept both versions; files of both epochs still readable
+    snap = t.snapshot()
+    assert len(snap["schemas"]) >= 2
+
+
+def test_restart_resume(spark, log_path, replayed, tmp_path):
+    """Kill after 2 micro-batches; a fresh pipeline resumes from the
+    checkpoint and converges to the one-shot state (north_star test 4)."""
+    full_root, _ = replayed
+    root = str(tmp_path / "pages")
+    first = CdcPipeline(spark, _cfg(log_path, root))
+    first.run(max_batches=2)  # "crash" here
+    ckpt = LakeTable.load(spark, root).checkpoint()
+    assert ckpt is not None and ckpt["batch_id"] == 1
+    resumed = CdcPipeline(spark, _cfg(log_path, root))  # fresh instance
+    stats = resumed.run()
+    assert stats.batches > 0
+    assert spark_final_state(spark, root) == spark_final_state(spark, full_root)
+
+
+def test_exactly_once_suffix_replay(spark, log_path, replayed):
+    """Rewind the checkpoint (simulating at-least-once redelivery of the
+    last windows) — replay must not change the table state."""
+    root, _ = replayed
+    t = LakeTable.load(spark, root)
+    before = spark_final_state(spark, root)
+    snap = t.snapshot()
+    ck = dict(snap["checkpoint"])
+    ck["offset_hi"] = max(ck["offset_hi"] - 800, 0)  # rewind two windows
+    t._commit({**{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+               "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
+               "buckets": snap["buckets"], "checkpoint": ck, "lineage": [],
+               "summary": {"operation": "test-rewind"}})
+    CdcPipeline(spark, _cfg(log_path, root)).run()
+    assert spark_final_state(spark, root) == before
+
+
+def test_text_byte_identical(spark, replayed):
+    """input_hint invariant: extract_text(html) == text, byte for byte,
+    for every live row."""
+    root, _ = replayed
+    df = LakeTable.load(spark, root).read()
+    mismatches = df.filter(extract_text(F.col("html")) != F.col("text")).count()
+    assert mismatches == 0
+    assert df.filter(F.col("html").isNull()).count() == 0
+
+
+def test_lineage_emitted(spark, log_path, replayed):
+    """Every batch leaves a lineage record (offset range, group rows,
+    per-bucket counts) in stats and in the snapshot chain."""
+    root, stats = replayed
+    assert len(stats.lineage) == stats.batches
+    rec = stats.lineage[0]
+    assert {"batch_id", "offset_lo", "offset_hi", "n_events", "groups"} <= set(rec)
+    assert rec["groups"][0]["bucket_rows"]
+    snap_lineage = [s.get("lineage") for s in LakeTable.load(spark, root).history()]
+    assert any(lin for lin in snap_lineage if lin)

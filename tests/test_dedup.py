@@ -1,0 +1,79 @@
+"""LWW dedup: the three implementations (window / agg / salted) must be
+exactly equivalent — including on skewed keys and order-column ties
+broken by offset (SURVEY.md 'hard parts': salted == unsalted)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.operators.dedup import (
+    exact_dedup,
+    lww_agg,
+    lww_salted,
+    lww_window,
+)
+
+ORDER = ("__lsn", "__source_ts_ms", "offset")
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1 hot key with 500 versions (incl. __lsn ties) + 200 normal keys."""
+    hot = spark.range(500).select(
+        F.lit("hot").alias("url"),
+        (F.col("id") / 2).cast("long").alias("__lsn"),  # ties every 2 rows
+        (F.lit(1000) + F.col("id")).alias("__source_ts_ms"),
+        F.col("id").alias("offset"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    cold = spark.range(200).select(
+        F.concat(F.lit("url-"), (F.col("id") % 100)).alias("url"),
+        F.col("id").alias("__lsn"),
+        F.lit(0).cast("long").alias("__source_ts_ms"),
+        (F.col("id") + 10_000).alias("offset"),
+        F.concat(F.lit("c"), F.col("id")).alias("payload"),
+    )
+    return hot.union(cold).cache()
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_three_implementations_agree(skewed):
+    w = _sorted_rows(lww_window(skewed, order_by=ORDER))
+    a = _sorted_rows(lww_agg(skewed, order_by=ORDER))
+    s = _sorted_rows(lww_salted(skewed, order_by=ORDER, salt_buckets=7))
+    assert w == a == s
+
+
+def test_one_row_per_key_and_winner_is_max(skewed):
+    out = lww_agg(skewed, order_by=ORDER)
+    assert out.count() == out.select("url").distinct().count() == 101
+    hot = out.filter(F.col("url") == "hot").first()
+    # max __lsn is 249 (ties), tie broken by offset → offset 499 wins
+    assert hot["__lsn"] == 249 and hot["offset"] == 499 and hot["payload"] == "v499"
+
+
+def test_deterministic_tie_break(spark):
+    df = spark.createDataFrame(
+        [("k", 5, 100, 1, "a"), ("k", 5, 100, 2, "b"), ("k", 5, 99, 3, "c")],
+        "url string, __lsn long, __source_ts_ms long, offset long, payload string",
+    )
+    # equal (__lsn); ts 100 beats 99; offset 2 beats 1
+    assert lww_agg(df, order_by=ORDER).first()["payload"] == "b"
+    assert lww_window(df, order_by=ORDER).first()["payload"] == "b"
+
+
+def test_missing_order_column_raises(spark):
+    df = spark.createDataFrame([("k", 1)], "url string, offset long")
+    with pytest.raises(ValueError, match="__lsn"):
+        lww_agg(df, order_by=ORDER)
+
+
+def test_exact_dedup_distinct_and_keep_by(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    assert exact_dedup(df, cols=["text"]).count() == 2
+    kept = {r["doc_id"] for r in exact_dedup(df, cols=["text"], keep_by="doc_id").collect()}
+    assert kept == {1, 3}  # smallest doc_id survives per text group

@@ -1,0 +1,185 @@
+"""LakeTable: snapshot commits, bucket-pruned CoW MERGE, schema
+evolution, idempotence, compaction, vacuum, time travel."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_batch_spark.plans.laketable import (
+    LakeTable,
+    SchemaEvolutionError,
+    conform,
+    evolve_schema,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("__lsn", T.LongType(), True),
+        T.StructField("__deleted", T.BooleanType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key_col="url", num_buckets=4, order_by=("__lsn",))
+
+
+def test_create_load_exists(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert not LakeTable.exists(root)
+    t = LakeTable.create(spark, root, SCHEMA, key_col="url")
+    assert LakeTable.exists(root) and t.total_rows() == 0
+    assert LakeTable.load(spark, root).schema() == SCHEMA
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, root, SCHEMA, key_col="url")
+
+
+def test_merge_insert_update_delete(spark, table):
+    table.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    assert table.total_rows() == 2
+    # update a, delete b, insert c
+    table.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True), ("c", "t1", 5, False)]))
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["a"]["text"] == "t2"
+
+
+def test_merge_is_idempotent_on_replay(spark, table):
+    b1 = [("a", "t1", 1, False), ("b", "t1", 2, False)]
+    b2 = [("a", "t2", 3, False), ("b", None, 4, True)]
+    table.merge(_batch(spark, b1))
+    table.merge(_batch(spark, b2))
+    state = sorted(tuple(r) for r in table.read().collect())
+    table.merge(_batch(spark, b2))  # replay suffix
+    table.merge(_batch(spark, b1))  # replay stale batch — must be a no-op
+    assert sorted(tuple(r) for r in table.read().collect()) == state
+
+
+def test_stale_delete_does_not_resurrect(spark, table):
+    table.merge(_batch(spark, [("a", "t5", 10, False)]))
+    table.merge(_batch(spark, [("a", None, 3, True)]))  # older delete replayed late
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "t5"
+
+
+def test_delete_leaves_invisible_tombstone(spark, table):
+    table.merge(_batch(spark, [("ghost", None, 1, True)]))
+    assert table.read().count() == 0
+    assert table.read(include_deleted=True).count() == 1  # tombstone retained
+    # a stale pre-delete upsert must NOT resurrect the key
+    table.merge(_batch(spark, [("ghost", "old", 0, False)]))
+    assert table.read().count() == 0
+    table.purge_tombstones()
+    assert table.read(include_deleted=True).count() == 0
+
+
+def test_bucket_pruning_rewrites_only_affected_buckets(spark, table):
+    urls = [(f"u{i}", "t", i, False) for i in range(40)]
+    table.merge(_batch(spark, urls))
+    before = table.snapshot()
+    table.merge(_batch(spark, [("u0", "t2", 100, False)]))
+    after = table.snapshot()
+    affected = set(after["summary"]["affected_buckets"])
+    assert len(affected) == 1
+    untouched = [b for b in before["buckets"] if int(b) not in affected]
+    assert untouched, "expected some untouched buckets"
+    for b in untouched:
+        assert after["buckets"][b] == before["buckets"][b]  # same files retained
+
+
+def test_schema_evolution_add_column_and_widen(spark, table):
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("title", T.StringType(), True)])
+    b2 = spark.createDataFrame([("b", "t1", 2, False, "T")], evolved)
+    table.merge(b2)
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert rows["a"]["title"] is None and rows["b"]["title"] == "T"
+    # widen int→long / float→double at the evolve level
+    wide, changed = evolve_schema(
+        T.StructType([T.StructField("x", T.IntegerType()), T.StructField("f", T.FloatType())]),
+        T.StructType([T.StructField("x", T.LongType()), T.StructField("f", T.DoubleType())]),
+    )
+    assert changed and wide["x"].dataType == T.LongType() and wide["f"].dataType == T.DoubleType()
+    # narrower incoming stays wide
+    wide2, changed2 = evolve_schema(
+        T.StructType([T.StructField("x", T.LongType())]),
+        T.StructType([T.StructField("x", T.IntegerType())]),
+    )
+    assert not changed2 and wide2["x"].dataType == T.LongType()
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(
+            T.StructType([T.StructField("x", T.StringType())]),
+            T.StructType([T.StructField("x", T.LongType())]),
+        )
+
+
+def test_append_mode_keeps_ledger(spark, table):
+    # reference semantics (W1): deletes/updates land as extra rows
+    table.append(_batch(spark, [("a", "t1", 1, False)] * 2))
+    table.append(_batch(spark, [("a", None, 2, True)]))
+    assert table.total_rows() == 3
+
+
+def test_checkpoint_rides_in_snapshot(spark, table):
+    ck = {"batch_id": 7, "offset_lo": 100, "offset_hi": 200}
+    table.merge(_batch(spark, [("a", "t", 1, False)]), checkpoint=ck)
+    assert table.checkpoint() == ck
+    # next commit without checkpoint inherits it
+    table.merge(_batch(spark, [("b", "t", 2, False)]))
+    assert table.checkpoint() == ck
+
+
+def test_time_travel_and_history(spark, table):
+    table.merge(_batch(spark, [("a", "v1", 1, False)]))
+    v1 = table.current_version()
+    table.merge(_batch(spark, [("a", "v2", 2, False)]))
+    assert table.read().first()["text"] == "v2"
+    assert table.read(version=v1).first()["text"] == "v1"
+    assert [s["version"] for s in table.history()] == list(range(table.current_version() + 1))
+
+
+def test_compact_and_vacuum(spark, table):
+    for i in range(4):
+        table.merge(_batch(spark, [(f"u{j}", f"t{i}", i * 10 + j, False) for j in range(8)]))
+    rows_before = sorted(tuple(r) for r in table.read().collect())
+    n_files_before = sum(len(f) for f in table.snapshot()["buckets"].values())
+    table.compact()
+    assert sorted(tuple(r) for r in table.read().collect()) == rows_before
+    n_files_after = sum(len(f) for f in table.snapshot()["buckets"].values())
+    assert n_files_after <= max(4, n_files_before)  # ≤1 file per bucket
+    removed = table.vacuum(keep_last=1)
+    assert removed  # old versions' files deleted
+    assert sorted(tuple(r) for r in table.read().collect()) == rows_before
+
+
+def test_commit_race_retries(spark, table):
+    # simulate a concurrent committer claiming the next version first
+    snap = table.snapshot()
+    nxt = table.current_version() + 1
+    path = os.path.join(table._meta_dir(), f"v{nxt:08d}.json")
+    with open(path, "w") as fh:
+        fh.write("{}")
+    v = table._commit({**{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+                       "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
+                       "buckets": snap["buckets"], "checkpoint": None, "lineage": [],
+                       "summary": {"operation": "noop"}})
+    assert v == nxt + 1  # lost the race for nxt, won nxt+1
+
+
+def test_conform_fills_missing_and_casts(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    target = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("s", T.StringType()), T.StructField("z", T.DoubleType())]
+    )
+    row = conform(df, target).first()
+    assert row["x"] == 1 and row["z"] is None
+    assert conform(df, target).schema == target

@@ -1,0 +1,82 @@
+"""Text functions: extraction inverse, token counting, quality, lang-id,
+shingles, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.functions.text import (
+    extract_text,
+    extract_text_from_html_bytes,
+    fingerprint64,
+    lang_id,
+    quality_features,
+    quality_score,
+    shingles,
+    subword_count,
+    token_count,
+    wrap_text_as_html,
+)
+
+
+def test_extract_is_exact_inverse_of_wrap(spark):
+    texts = ["plain words here", "a & b < c", "unicode: héllo wörld 中文", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.withColumn("html", wrap_text_as_html(F.col("text"))).withColumn(
+        "back", extract_text(F.col("html"))
+    )
+    assert out.filter(F.col("back") != F.col("text")).count() == 0
+
+
+def test_extract_scalar_strips_tags_and_scripts():
+    html = b"<html><head><script>var x=1;</script></head><body><p>keep me</p><style>a{}</style></body></html>"
+    assert extract_text_from_html_bytes(html) == "keep me"
+    assert extract_text_from_html_bytes(None) is None
+    assert extract_text_from_html_bytes(b"a &amp; b &lt;ok&gt;") == 'a & b <ok>'
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("one two  three",), ("",), ("   ",), ("solo",)], "t string")
+    out = [r[0] for r in df.select(token_count(F.col("t"))).collect()]
+    assert out == [3, 0, 0, 1]
+    sw = df.select(subword_count(F.col("t"))).collect()
+    assert sw[0][0] == 3 and sw[1][0] == 0
+
+
+def test_quality_features_and_score(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    bad = "@@@@ 1234 5678 $$$$ %%%%"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    feats = quality_features(F.col("t"))
+    rows = df.select(
+        quality_score(F.col("t")).alias("score"), feats["alpha_ratio"].alias("ar"),
+        feats["stopword_ratio"].alias("sr"),
+    ).collect()
+    assert rows[0]["score"] > rows[1]["score"]
+    assert rows[0]["ar"] > 0.7 and rows[1]["ar"] < 0.1
+    assert rows[0]["sr"] > 0.2
+
+
+def test_lang_id(spark):
+    samples = [
+        ("the cat and the dog is on the mat with the hat", "en"),
+        ("der hund und die katze ist nicht hier und der mann", "de"),
+        ("le chat et la maison est sur les toits et le chien", "fr"),
+        ("el perro y la casa es grande y los gatos que corren", "es"),
+        ("这是一个中文句子没有任何英文单词", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "t string, expected string")
+    out = df.select("expected", lang_id(F.col("t")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], r
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b",)], "t string")
+    rows = df.select(shingles(F.col("t"), k=3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d", "c d e"]
+    assert rows[1]["s"] == ["a b"]  # shorter than k → whole doc
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("same",), ("same",), ("diff",)], "t string")
+    fps = [r[0] for r in df.select(fingerprint64(F.col("t"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
