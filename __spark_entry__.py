@@ -47,7 +47,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def q_cdc_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis("ts"))
+    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
     last = lww_agg(ev, key="user_id", order_by=("ts_ms", "event_id"))
     return (
         last.filter(F.col("event_type") != "error")  # last op = delete → drop key
@@ -67,8 +67,8 @@ def q_cdc_append_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_deletes"),
-        F.min(F.unix_millis("ts")).alias("first_ts_ms"),
-        F.max(F.unix_millis("ts")).alias("last_ts_ms"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("first_ts_ms"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("last_ts_ms"),
         F.round(F.sum("value"), 3).alias("sum_value"),
     )
 
@@ -126,7 +126,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (xxhash64-based bit math isn't portable SQL)
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dupes(docs, max_hamming=10)
+    return simhash_near_dupes(docs, max_hamming=3)
 
 
 def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +136,7 @@ def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
-        .withColumn("hour_ms", F.unix_millis("hour_ts"))
+        .withColumn("hour_ms", F.unix_millis(F.col("hour_ts").cast("timestamp")))
         .drop("hour_ts")
     )
 
@@ -257,10 +257,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
               FROM documents
             ), sh AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
-                          ELSE array_to_string(t[i:i+2], ' ') END AS sh
-              FROM toks, generate_series(1, greatest(len(t) - 2, 1)) AS g(i)
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                                   ELSE list_transform(range(1, len(t) - 1),
+                                                       i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+                FROM toks
+              )
             ), sizes AS (
               SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
             ), inter AS (

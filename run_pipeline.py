@@ -1,0 +1,125 @@
+"""CLI entry point — run the CDC replay pipeline via spark-submit.
+
+Cluster use (north_rule: multi-executor, two cluster sizes):
+
+    zip -r engine.zip debezium_server_batch_spark
+    spark-submit --py-files engine.zip run_pipeline.py replay \
+        --log /lake/cdc_log --table /lake/pages --batch-window 5000000
+
+Local evidence runs (sandbox): --master local[8] / local[32].
+
+Subcommands:
+  generate   synthesize a deterministic Debezium-shaped event log
+  replay     replay the log into a LakeTable (resumes from checkpoint)
+  compact    run table maintenance (compaction + tombstone purge + vacuum)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark-native CDC ingest engine")
+    p.add_argument("--master", default=None, help="override Spark master (else spark-submit's)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-pages", type=int, default=100)
+    g.add_argument("--hot-k", type=int, default=64)
+    g.add_argument("--files", type=int, default=32)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--batch-window", type=int, default=1_000_000)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--max-batches", type=int, default=None)
+    r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
+    r.add_argument("--wait-strategy", default="NoBatchSizeWait")
+    r.add_argument("--max-batch-size", type=int, default=2048)
+    r.add_argument("--max-wait-ms", type=int, default=300_000)
+
+    m = sub.add_parser("compact")
+    m.add_argument("--table", required=True)
+    m.add_argument("--purge-tombstones", action="store_true")
+    m.add_argument("--vacuum-keep", type=int, default=2)
+
+    args = p.parse_args(argv)
+
+    from debezium_server_batch_spark.session import build_session
+
+    spark = build_session(master=args.master, shuffle_partitions=args.shuffle_partitions)
+    try:
+        if args.cmd == "generate":
+            from debezium_server_batch_spark.sources.synth import generate_event_log, write_event_log
+
+            t0 = time.monotonic()
+            df = generate_event_log(
+                spark, n_pages=args.pages, seed=args.seed, n_hot=args.hot_pages, hot_k=args.hot_k
+            )
+            write_event_log(df, args.out, n_files=args.files)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"events": n, "sec": round(time.monotonic() - t0, 2)}))
+
+        elif args.cmd == "replay":
+            from debezium_server_batch_spark.streaming.pacing import select_batch_size_wait
+            from debezium_server_batch_spark.streaming.runner import CdcPipeline, PipelineConfig
+
+            wait_cls = select_batch_size_wait(args.wait_strategy)
+            if args.wait_strategy == "DynamicBatchSizeWait":
+                wait = wait_cls(max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms)
+            elif args.wait_strategy == "MaxBatchSizeWait":
+                from debezium_server_batch_spark.sources.event_log import EventLogSource
+
+                src = EventLogSource(spark, args.log)
+                wait = wait_cls(
+                    pending_fn=lambda: src.pending_count(0),
+                    max_batch_size=args.max_batch_size,
+                    max_wait_ms=args.max_wait_ms,
+                )
+            else:
+                wait = wait_cls()
+            cfg = PipelineConfig(
+                log_path=args.log,
+                table_root=args.table,
+                batch_window=args.batch_window,
+                num_buckets=args.buckets,
+                metrics_path=args.metrics,
+                lineage_per_bucket=False,
+            )
+            stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)
+            print(
+                json.dumps(
+                    {
+                        "batches": stats.batches,
+                        "events": stats.events,
+                        "elapsed_sec": round(stats.elapsed_s, 2),
+                        "events_per_sec": round(stats.events_per_sec, 1),
+                    }
+                )
+            )
+
+        elif args.cmd == "compact":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(spark, args.table)
+            if args.purge_tombstones:
+                t.purge_tombstones()
+            t.compact()
+            removed = t.vacuum(keep_last=args.vacuum_keep)
+            print(json.dumps({"version": t.current_version(), "files_removed": len(removed)}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
