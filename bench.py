@@ -46,20 +46,32 @@ def run_replay(spark, sf_dir: str, workdir: str) -> dict:
     cfg = PipelineConfig(
         log_path=log_path,
         table_root=os.path.join(workdir, "pages"),
-        batch_window=max(n_pages, 100_000),
+        batch_events=100_000,  # event-count-balanced micro-batches
         num_buckets=32,
+        merge_mode="mor",
         lineage_per_bucket=False,
     )
     t0 = time.monotonic()
     stats = CdcPipeline(spark, cfg).run()
     replay_s = time.monotonic() - t0
+    # fold MoR deltas so the table is scan-ready; reported separately
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    t0 = time.monotonic()
+    table = LakeTable.load(spark, cfg.table_root)
+    table.compact()
+    compact_s = time.monotonic() - t0
+    final_rows = table.read().count()
     return {
         "n_pages": n_pages,
         "n_events": stats.events,
         "n_batches": stats.batches,
+        "final_rows": final_rows,
         "generate_sec": round(gen_s, 3),
         "replay_sec": round(replay_s, 3),
+        "compact_sec": round(compact_s, 3),
         "events_per_sec": round(stats.events / max(replay_s, 1e-9), 1),
+        "events_per_sec_incl_compact": round(stats.events / max(replay_s + compact_s, 1e-9), 1),
     }
 
 

@@ -121,7 +121,20 @@ class LakeTable:
         key_col: str,
         num_buckets: int = 16,
         order_by: tuple[str, ...] = ("__lsn",),
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        """merge_mode:
+          * "cow" — copy-on-write: merge joins and rewrites affected
+            buckets; reads are plain scans. Best for large, infrequent
+            batches / read-heavy tables.
+          * "mor" — merge-on-read: merge appends delta files (O(batch),
+            no join, no table rewrite); reads LWW-collapse base+delta
+            per key; compact() folds deltas back down. Best for frequent
+            micro-batches — the CDC tail-ingest shape (Iceberg/Hudi MoR
+            equivalent).
+        """
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         t = cls(spark, root)
         os.makedirs(os.path.join(root, cls.META), exist_ok=True)
         os.makedirs(os.path.join(root, cls.DATA), exist_ok=True)
@@ -133,6 +146,8 @@ class LakeTable:
                 "key_col": key_col,
                 "num_buckets": num_buckets,
                 "order_by": list(order_by),
+                "merge_mode": merge_mode,
+                "needs_collapse": False,
                 "schemas": {"0": schema.json()},
                 "current_schema_id": "0",
                 "buckets": {},
@@ -238,11 +253,31 @@ class LakeTable:
     ) -> DataFrame:
         """Current live rows. Delete tombstones are physically retained
         (so replaying *any* stale batch stays a no-op — see merge) and
-        filtered here unless include_deleted=True."""
+        filtered here unless include_deleted=True. For merge-on-read
+        tables with outstanding deltas, the scan is LWW-collapsed per key
+        first (one hash-aggregate; compact() amortizes it away)."""
+        snap = self.snapshot(version)
         df = self._read_raw(version, buckets)
+        if snap.get("needs_collapse"):
+            df = self._collapse(df, snap)
         if not include_deleted and "__deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("__deleted").cast("boolean"), F.lit(False)))
         return df
+
+    def _collapse(self, df: DataFrame, snap: dict) -> DataFrame:
+        """LWW per key over order_by — groupBy + max(struct), which Spark
+        executes with map-side partial aggregation (skew-safe)."""
+        key = snap["key_col"]
+        order = [c for c in snap["order_by"] if c in df.columns]
+        if not order:
+            return df
+        payload = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+        cols = df.columns
+        return (
+            df.groupBy(key)
+            .agg(F.max(F.struct(*[F.col(c) for c in order], payload)).alias("_m"))
+            .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
+        )
 
     def _read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
         snap = self.snapshot(version)
@@ -329,7 +364,7 @@ class LakeTable:
         added = sum(f["rows"] for fl in new_files.values() for f in fl)
         return self._commit(
             {
-                **{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
                 "schemas": schemas,
                 "current_schema_id": sid,
                 "buckets": buckets,
@@ -376,6 +411,29 @@ class LakeTable:
         batch_logical = T.StructType([f for f in batch.schema.fields if f.name != "_bucket"])
         schemas, evolved, sid = self._evolve_for(snap, batch_logical)
 
+        if snap.get("merge_mode") == "mor":
+            # merge-on-read: append delta files only — O(batch) work, no
+            # join, no rewrite. read()/compact() LWW-collapse later.
+            new_files = self._write_files(conform(batch, evolved), snap, sid)
+            buckets = {b: list(files) for b, files in snap["buckets"].items()}
+            for b, files in new_files.items():
+                buckets.setdefault(b, []).extend(files)
+            return self._commit(
+                {
+                    **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode")},
+                    "needs_collapse": True,
+                    "schemas": schemas,
+                    "current_schema_id": sid,
+                    "buckets": buckets,
+                    "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
+                    "lineage": lineage or [],
+                    "summary": {
+                        "operation": "merge-mor",
+                        "delta_rows": sum(f["rows"] for fl in new_files.values() for f in fl),
+                    },
+                }
+            )
+
         # --- bucket pruning: which buckets does this batch touch? -------
         affected = [
             str(r[0])
@@ -410,7 +468,7 @@ class LakeTable:
             buckets[b] = files
         return self._commit(
             {
-                **{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
                 "schemas": schemas,
                 "current_schema_id": sid,
                 "buckets": buckets,
@@ -431,8 +489,14 @@ class LakeTable:
     def compact(self) -> int:
         """Rewrite every bucket to one file under the current schema —
         the small-file compaction Iceberg does with rewrite_data_files.
-        Micro-batch CoW accumulates small files; run this periodically."""
-        return self._rewrite_all(self._read_raw(), "compact")
+        Micro-batch CoW accumulates small files; run this periodically.
+        On merge-on-read tables this also folds outstanding deltas (LWW
+        collapse), after which reads are plain scans again."""
+        snap = self.snapshot()
+        df = self._read_raw()
+        if snap.get("needs_collapse"):
+            df = self._collapse(df, snap)  # keeps tombstone winners
+        return self._rewrite_all(df, "compact")
 
     def purge_tombstones(self) -> int:
         """Drop retained delete tombstones. Safe once no replay older
@@ -446,7 +510,8 @@ class LakeTable:
         new_files = self._write_files(df, snap, sid)
         return self._commit(
             {
-                **{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode")},
+                "needs_collapse": False,  # a full rewrite always collapses
                 "schemas": snap["schemas"],
                 "current_schema_id": sid,
                 "buckets": new_files,

@@ -39,6 +39,35 @@ class EventLogSource:
         row = self.df().agg(F.max(self.offset_col)).first()
         return row[0]
 
+    def window_bounds(self, after_offset: int, target_events: int) -> list[int]:
+        """Offset upper-bounds for event-count-balanced micro-batches.
+
+        Fixed offset-width windows degenerate when the offset space is
+        sparse (e.g. a few hot keys stretch the tail of the log): most
+        windows carry a handful of events but still pay full per-batch
+        overhead. One `approxQuantile` pass (a distributed sketch, not a
+        sort) yields boundaries where every window holds ≈ target_events
+        events regardless of offset density."""
+        c = F.col(self.offset_col)
+        df = self.df().filter(c > F.lit(after_offset)).select(self.offset_col)
+        agg = df.agg(F.count(F.lit(1)), F.max(self.offset_col)).first()
+        n, max_off = agg[0], agg[1]
+        if not n:
+            return []
+        k = max(1, -(-n // target_events))  # ceil
+        if k == 1:
+            return [max_off]
+        probs = [i / k for i in range(1, k)]
+        qs = df.approxQuantile(self.offset_col, probs, 0.001)
+        bounds: list[int] = []
+        for q in qs:
+            b = int(q)
+            if b > after_offset and (not bounds or b > bounds[-1]):
+                bounds.append(b)
+        if not bounds or bounds[-1] < max_off:
+            bounds.append(int(max_off))
+        return bounds
+
     def pending_count(self, after_offset: int) -> int:
         """Unconsumed-event count — our analogue of the reference's JMX
         queue-size probe driving MaxBatchSizeWait (DebeziumMetrics.java:

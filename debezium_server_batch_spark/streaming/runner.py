@@ -46,11 +46,14 @@ class PipelineConfig:
     key_col: str = "url"
     num_buckets: int = 16
     batch_window: int = 10_000  # offsets per micro-batch window
+    batch_events: int | None = None  # if set, event-count-balanced windows
     order_by: tuple[str, ...] = ("__lsn", "__source_ts_ms", "offset")
     cast_deleted_field: bool = True
     default_ts_ms: int | None = None  # None → wall clock (reference parity)
     metrics_path: str | None = None
     lineage_per_bucket: bool = True
+    merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge
+    compact_every: int | None = None  # fold MoR deltas every N batches
 
 
 @dataclass
@@ -89,6 +92,7 @@ class CdcPipeline:
             key_col=self.cfg.key_col,
             num_buckets=self.cfg.num_buckets,
             order_by=self.cfg.order_by,
+            merge_mode=self.cfg.merge_mode,
         )
 
     def checkpointed_offset(self) -> int:
@@ -111,11 +115,19 @@ class CdcPipeline:
         if t is not None and t.checkpoint():
             batch_id = t.checkpoint()["batch_id"] + 1
 
+        bounds: list[int] | None = None
+        if self.cfg.batch_events is not None and max_offset is not None and last < max_offset:
+            bounds = self.source.window_bounds(last, self.cfg.batch_events)
+
         while max_offset is not None and last < max_offset:
             if max_batches is not None and stats.batches >= max_batches:
                 break
             t0 = time.monotonic()
-            lo, hi = last, min(last + self.cfg.batch_window, max_offset)
+            if bounds is not None:
+                hi = next((b for b in bounds if b > last), max_offset)
+            else:
+                hi = min(last + self.cfg.batch_window, max_offset)
+            lo = last
             batch_stats = self._process_window(batch_id, lo, hi)
             elapsed_ms = int((time.monotonic() - t0) * 1000)
 
@@ -128,6 +140,10 @@ class CdcPipeline:
 
             last = hi
             batch_id += 1
+            if self.cfg.compact_every and batch_id % self.cfg.compact_every == 0:
+                t = self._table()
+                if t is not None:
+                    t.compact()
             self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
         stats.elapsed_s = time.monotonic() - t_run
@@ -186,7 +202,7 @@ class CdcPipeline:
                 snap = table.snapshot()
                 table._commit(
                     {
-                        **{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+                        **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
                         "schemas": snap["schemas"],
                         "current_schema_id": snap["current_schema_id"],
                         "buckets": snap["buckets"],

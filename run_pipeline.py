@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--batch-window", type=int, default=1_000_000)
+    r.add_argument("--batch-events", type=int, default=None, help="event-count-balanced windows")
+    r.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    r.add_argument("--compact-every", type=int, default=None)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
     r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
@@ -91,8 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                 log_path=args.log,
                 table_root=args.table,
                 batch_window=args.batch_window,
+                batch_events=args.batch_events,
                 num_buckets=args.buckets,
                 metrics_path=args.metrics,
+                merge_mode=args.merge_mode,
+                compact_every=args.compact_every,
                 lineage_per_bucket=False,
             )
             stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)

@@ -166,7 +166,7 @@ def test_exactly_once_suffix_replay(spark, log_path, replayed):
     snap = t.snapshot()
     ck = dict(snap["checkpoint"])
     ck["offset_hi"] = max(ck["offset_hi"] - 800, 0)  # rewind two windows
-    t._commit({**{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+    t._commit({**{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
                "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
                "buckets": snap["buckets"], "checkpoint": ck, "lineage": [],
                "summary": {"operation": "test-rewind"}})

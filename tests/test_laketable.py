@@ -168,11 +168,55 @@ def test_commit_race_retries(spark, table):
     path = os.path.join(table._meta_dir(), f"v{nxt:08d}.json")
     with open(path, "w") as fh:
         fh.write("{}")
-    v = table._commit({**{k: snap[k] for k in ("key_col", "num_buckets", "order_by")},
+    v = table._commit({**{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
                        "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
                        "buckets": snap["buckets"], "checkpoint": None, "lineage": [],
                        "summary": {"operation": "noop"}})
     assert v == nxt + 1  # lost the race for nxt, won nxt+1
+
+
+def test_mor_merge_append_collapse_compact(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    t.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True), ("c", "t1", 5, False)]))
+    assert t.snapshot()["needs_collapse"] is True
+    rows = {r["url"]: r["text"] for r in t.read().collect()}
+    assert rows == {"a": "t2", "c": "t1"}  # read-side LWW collapse + tombstone filter
+    # raw files hold every version (delta append, no rewrite)
+    assert t._read_raw().count() == 5
+    # stale replay: old upsert of deleted key must not resurrect it
+    t.merge(_batch(spark, [("b", "t1", 2, False)]))
+    assert "b" not in {r["url"] for r in t.read().collect()}
+    # compact folds deltas, keeps tombstone winners, clears the flag
+    state = sorted(tuple(r) for r in t.read().collect())
+    t.compact()
+    assert t.snapshot()["needs_collapse"] is False
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    assert t._read_raw().count() == 3  # a, c + b-tombstone
+    # post-compact merge still correct
+    t.merge(_batch(spark, [("a", "t9", 9, False)]))
+    assert {r["text"] for r in t.read().filter(F.col("url") == "a").collect()} == {"t9"}
+
+
+def test_mor_matches_cow_final_state(spark, tmp_path):
+    batches = [
+        [("a", "t1", 1, False), ("b", "t1", 2, False)],
+        [("a", "t2", 3, False), ("b", None, 4, True)],
+        [("b", "t3", 6, False), ("c", "t1", 7, False)],
+    ]
+    roots = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, str(tmp_path / mode), SCHEMA, key_col="url", num_buckets=4,
+            order_by=("__lsn",), merge_mode=mode,
+        )
+        for b in batches:
+            t.merge(_batch(spark, b))
+        roots[mode] = sorted(tuple(r) for r in t.read().collect())
+    assert roots["cow"] == roots["mor"]
 
 
 def test_conform_fills_missing_and_casts(spark):

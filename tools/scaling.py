@@ -34,8 +34,8 @@ def run_one(cores: int, log_path: str, workdir: str) -> dict:
         log_path,
         "--table",
         table,
-        "--batch-window",
-        "10000000",
+        "--batch-events",
+        "100000",
         "--buckets",
         str(max(cores, 16)),
     ]
