@@ -55,6 +55,7 @@ class SchemaGroup:
     row_count_hint: int
     struct: T.StructType | None
     df: DataFrame  # typed payload columns + `offset`
+    _source: DataFrame | None = None  # persisted split-envelope df, if any
 
 
 def filter_tombstones(df: DataFrame) -> DataFrame:
@@ -87,13 +88,22 @@ def parse_envelope_batch(
     df: DataFrame,
     extra_cols: tuple[str, ...] = (OFFSET,),
     infer_samples: int = 100,
+    persist: bool = False,
 ) -> list[SchemaGroup]:
     """Parse a raw micro-batch into typed per-(destination, schema)
     groups, ordered by (destination, min offset) so that schema changes
     inside the batch apply in log order (SURVEY.md G2 'hard part').
+
+    With persist=True the split envelope (the expensive per-row JSON
+    pointer work) is cached across the grouping aggregate and the
+    per-group parses — one materialization instead of one scan per
+    downstream action. Caller must call ``unpersist_batch(groups)`` when
+    the window is fully merged.
     """
     spark = df.sparkSession
     ev = split_envelope(filter_tombstones(df))
+    if persist:
+        ev = ev.persist()
 
     groups_meta = (
         ev.groupBy(DESTINATION, "schema_hash")
@@ -128,9 +138,20 @@ def parse_envelope_batch(
                 row_count_hint=row["n"],
                 struct=struct,
                 df=typed,
+                _source=ev if persist else None,
             )
         )
     return out
+
+
+def unpersist_batch(groups: list[SchemaGroup]) -> None:
+    """Release the cached split-envelope DataFrame of a persisted batch."""
+    seen = set()
+    for g in groups:
+        src = getattr(g, "_source", None)
+        if src is not None and id(src) not in seen:
+            src.unpersist()
+            seen.add(id(src))
 
 
 def rewrite_destination(destination: str, regexp: str | None = None, replacement: str = "", prefix: str = "") -> str:

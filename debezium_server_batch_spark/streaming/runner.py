@@ -24,6 +24,7 @@ loop is the designed upgrade.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -31,7 +32,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import lww_agg
-from ..operators.envelope import parse_envelope_batch
+from ..operators.envelope import parse_envelope_batch, unpersist_batch
 from ..operators.normalize import normalize_batch, to_page_row
 from ..plans.laketable import LakeTable
 from ..sources.event_log import EventLogSource
@@ -54,6 +55,13 @@ class PipelineConfig:
     lineage_per_bucket: bool = True
     merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge
     compact_every: int | None = None  # fold MoR deltas every N batches
+    # multi-destination routing (reference G1/P5: one target table per
+    # topic, name rewritten by regexp). False → single table at
+    # table_root; True → table_root/<rewritten destination>.
+    table_per_destination: bool = False
+    destination_regexp: str | None = None
+    destination_replacement: str = ""
+    destination_prefix: str = ""
 
 
 @dataclass
@@ -80,14 +88,30 @@ class CdcPipeline:
 
     # ------------------------------------------------------------------
 
-    def _table(self, schema=None) -> LakeTable | None:
-        if LakeTable.exists(self.cfg.table_root):
-            return LakeTable.load(self.spark, self.cfg.table_root)
+    def _root_for(self, destination: str | None = None) -> str:
+        if not self.cfg.table_per_destination or destination is None:
+            return self.cfg.table_root
+        from ..operators.envelope import rewrite_destination
+
+        name = rewrite_destination(
+            destination,
+            self.cfg.destination_regexp,
+            self.cfg.destination_replacement,
+            self.cfg.destination_prefix,
+        )
+        import re as _re
+
+        return os.path.join(self.cfg.table_root, _re.sub(r"[^A-Za-z0-9_.\-]", "_", name))
+
+    def _table(self, schema=None, destination: str | None = None) -> LakeTable | None:
+        root = self._root_for(destination)
+        if LakeTable.exists(root):
+            return LakeTable.load(self.spark, root)
         if schema is None:
             return None
         return LakeTable.create(
             self.spark,
-            self.cfg.table_root,
+            root,
             schema=schema,
             key_col=self.cfg.key_col,
             num_buckets=self.cfg.num_buckets,
@@ -95,12 +119,28 @@ class CdcPipeline:
             merge_mode=self.cfg.merge_mode,
         )
 
+    def _all_tables(self) -> list[LakeTable]:
+        if not self.cfg.table_per_destination:
+            t = self._table()
+            return [t] if t is not None else []
+        root = self.cfg.table_root
+        if not os.path.isdir(root):
+            return []
+        return [
+            LakeTable.load(self.spark, os.path.join(root, d))
+            for d in sorted(os.listdir(root))
+            if LakeTable.exists(os.path.join(root, d))
+        ]
+
     def checkpointed_offset(self) -> int:
-        t = self._table()
-        if t is None:
+        """Resume point. With per-destination tables, the MIN over all
+        tables' checkpoints: a crash between per-table commits leaves
+        laggards, and replaying from the minimum is safe because every
+        merge is idempotent."""
+        ckpts = [t.checkpoint() for t in self._all_tables()]
+        if not ckpts:
             return -1
-        ckpt = t.checkpoint()
-        return ckpt["offset_hi"] if ckpt else -1
+        return min((c["offset_hi"] if c else -1) for c in ckpts)
 
     # ------------------------------------------------------------------
 
@@ -111,9 +151,9 @@ class CdcPipeline:
         last = self.checkpointed_offset()
         max_offset = self.source.max_offset()
         batch_id = 0
-        t = self._table()
-        if t is not None and t.checkpoint():
-            batch_id = t.checkpoint()["batch_id"] + 1
+        ckpts = [t.checkpoint() for t in self._all_tables() if t.checkpoint()]
+        if ckpts:
+            batch_id = min(c["batch_id"] for c in ckpts) + 1
 
         bounds: list[int] | None = None
         if self.cfg.batch_events is not None and max_offset is not None and last < max_offset:
@@ -141,8 +181,7 @@ class CdcPipeline:
             last = hi
             batch_id += 1
             if self.cfg.compact_every and batch_id % self.cfg.compact_every == 0:
-                t = self._table()
-                if t is not None:
+                for t in self._all_tables():
                     t.compact()
             self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
@@ -154,10 +193,14 @@ class CdcPipeline:
     def _process_window(self, batch_id: int, lo: int, hi: int) -> dict:
         t0 = time.monotonic()
         raw = self.source.read_slice(lo, hi)
-        groups = parse_envelope_batch(raw)
+        groups = parse_envelope_batch(raw, persist=True)
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
         n_events = 0
         group_records = []
+
+        # the LAST group per destination carries the window checkpoint —
+        # per-destination commits are independent; resume uses the min
+        last_group_idx = {g.destination: i for i, g in enumerate(groups)}
 
         for gi, g in enumerate(groups):
             df = normalize_batch(
@@ -168,8 +211,8 @@ class CdcPipeline:
             df = to_page_row(df)
             deduped = lww_agg(df, key=self.cfg.key_col, order_by=self.cfg.order_by)
 
-            table = self._table(schema=deduped.schema)
-            is_last = gi == len(groups) - 1
+            table = self._table(schema=deduped.schema, destination=g.destination)
+            is_last = gi == last_group_idx[g.destination]
 
             bucket_counts = None
             if self.cfg.lineage_per_bucket:
@@ -195,29 +238,32 @@ class CdcPipeline:
             n_events += g.row_count_hint
             group_records.append(group_record)
 
-        if not groups:
-            # empty window: advance the checkpoint with a metadata-only commit
-            table = self._table()
-            if table is not None:
-                snap = table.snapshot()
-                table._commit(
-                    {
-                        **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-                        "schemas": snap["schemas"],
-                        "current_schema_id": snap["current_schema_id"],
-                        "buckets": snap["buckets"],
-                        "checkpoint": checkpoint,
-                        "lineage": [],
-                        "summary": {"operation": "checkpoint-only"},
-                    }
-                )
+        # destinations with no events this window (or empty window):
+        # advance their checkpoint with a metadata-only commit so the
+        # min-resume rule doesn't stall on them
+        touched = {self._root_for(g.destination) for g in groups}
+        for table in self._all_tables():
+            if table.root in touched:
+                continue
+            snap = table.snapshot()
+            table._commit(
+                {
+                    **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
+                    "schemas": snap["schemas"],
+                    "current_schema_id": snap["current_schema_id"],
+                    "buckets": snap["buckets"],
+                    "checkpoint": checkpoint,
+                    "lineage": [],
+                    "summary": {"operation": "checkpoint-only"},
+                }
+            )
 
-        table = self._table()
+        unpersist_batch(groups)
         return {
             **checkpoint,
             "n_events": n_events,
             "n_schema_groups": len(groups),
             "groups": group_records,
-            "merged_rows": table.total_rows() if table else 0,
+            "merged_rows": sum(t.total_rows() for t in self._all_tables()),
             "duration_s": round(time.monotonic() - t0, 3),
         }

@@ -184,6 +184,51 @@ def test_text_byte_identical(spark, replayed):
     assert df.filter(F.col("html").isNull()).count() == 0
 
 
+def test_multi_destination_routing(spark, tmp_path):
+    """Reference G1/P5: events route to one table per topic, with
+    destination-name rewrite; checkpoint resume = min over tables."""
+    import json as _json
+
+    def ev(offset, dest, op, key, lsn, val):
+        payload = {"url": key, "text": val, "__op": op, "__lsn": lsn,
+                   "__source_ts_ms": 1704067200000 + lsn,
+                   "__deleted": "true" if op == "d" else "false"}
+        schema = {"type": "struct", "fields": [
+            {"type": "string", "field": "url", "optional": False},
+            {"type": "string", "field": "text", "optional": True},
+            {"type": "string", "field": "__op", "optional": True},
+            {"type": "int64", "field": "__lsn", "optional": True},
+            {"type": "int64", "field": "__source_ts_ms", "optional": True},
+            {"type": "string", "field": "__deleted", "optional": True}]}
+        return (offset, dest, None, _json.dumps({"schema": schema, "payload": payload}))
+
+    rows = [
+        ev(0, "testc.db.users", "c", "u1", 0, "a"),
+        ev(1, "testc.db.orders", "c", "o1", 1, "x"),
+        ev(2, "testc.db.users", "u", "u1", 2, "b"),
+        ev(3, "testc.db.orders", "d", "o1", 3, None),
+        ev(4, "testc.db.users", "c", "u2", 4, "c"),
+    ]
+    log = str(tmp_path / "log")
+    spark.createDataFrame(rows, "offset long, destination string, key string, value string") \
+        .write.parquet(log)
+    cfg = PipelineConfig(
+        log_path=log, table_root=str(tmp_path / "tables"), batch_window=3,
+        num_buckets=2, table_per_destination=True,
+        destination_regexp=r"^testc\.db\.", destination_replacement="",
+    )
+    CdcPipeline(spark, cfg).run()
+    users = LakeTable.load(spark, str(tmp_path / "tables" / "users"))
+    orders = LakeTable.load(spark, str(tmp_path / "tables" / "orders"))
+    u = {r["url"]: r["text"] for r in users.read().collect()}
+    assert u == {"u1": "b", "u2": "c"}
+    assert orders.read().count() == 0  # o1 deleted
+    # both tables checkpointed to the log end; resume is a no-op
+    assert users.checkpoint()["offset_hi"] == 4
+    assert orders.checkpoint()["offset_hi"] == 4
+    assert CdcPipeline(spark, cfg).run().batches == 0
+
+
 def test_lineage_emitted(spark, log_path, replayed):
     """Every batch leaves a lineage record (offset range, group rows,
     per-bucket counts) in stats and in the snapshot chain."""
