@@ -309,9 +309,21 @@ class LakeTable:
         per-bucket file manifest with footer row counts."""
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, self.DATA, commit_id)
+        # Salt the repartition so the write stage's parallelism tracks the
+        # cluster (distinct _bucket values alone cap it at num_buckets —
+        # and hash collisions leave ~1/e of even those partitions empty).
+        # partitionBy still routes every row to its bucket directory; the
+        # salt only splits a bucket's rows across writers (compaction
+        # folds the extra files).
+        par = self.spark.sparkContext.defaultParallelism
+        n_buckets = snap["num_buckets"]
+        salt_n = max(1, -(-2 * par // n_buckets))  # ceil(2P / buckets)
         (
             df.withColumn("_bucket", self._bucket_expr(snap))
-            .repartition("_bucket")
+            # independent hash (seeded) — salt = f(bucket) would split nothing
+            .withColumn("_wsalt", F.pmod(F.xxhash64(F.lit(1), F.col(snap["key_col"])), F.lit(salt_n)))
+            .repartition(max(2 * par, n_buckets), "_bucket", "_wsalt")
+            .drop("_wsalt")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)

@@ -191,8 +191,14 @@ class CdcPipeline:
     # ------------------------------------------------------------------
 
     def _process_window(self, batch_id: int, lo: int, hi: int) -> dict:
-        t0 = time.monotonic()
         raw = self.source.read_slice(lo, hi)
+        return self.process_batch(raw, batch_id, lo, hi)
+
+    def process_batch(self, raw, batch_id: int, lo: int = -1, hi: int = -1) -> dict:
+        """Apply one raw micro-batch DataFrame (offset, destination, key,
+        value) end-to-end. Shared by the offset-window replay loop and
+        the Structured Streaming foreachBatch sink."""
+        t0 = time.monotonic()
         groups = parse_envelope_batch(raw, persist=True)
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
         n_events = 0

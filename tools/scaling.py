@@ -20,7 +20,7 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(cores: int, log_path: str, workdir: str) -> dict:
+def run_one(cores: int, log_path: str, workdir: str, batch_events: int = 300_000) -> dict:
     table = os.path.join(workdir, f"pages-{cores}")
     cmd = [
         sys.executable,
@@ -35,7 +35,7 @@ def run_one(cores: int, log_path: str, workdir: str) -> dict:
         "--table",
         table,
         "--batch-events",
-        "100000",
+        str(batch_events),
         "--buckets",
         str(max(cores, 16)),
     ]
@@ -47,18 +47,20 @@ def run_one(cores: int, log_path: str, workdir: str) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     workdir = tempfile.mkdtemp(prefix="dsbs-scaling-")
-    log_path = os.path.join(workdir, "log")
+    # cache the generated log across invocations (deterministic by n_pages)
+    log_path = f"/tmp/dsbs-scaling-log-{n_pages}"
     try:
-        gen = subprocess.run(
-            [
-                sys.executable, os.path.join(REPO, "run_pipeline.py"),
-                "--master", "local[32]", "generate",
-                "--out", log_path, "--pages", str(n_pages),
-                "--hot-pages", str(max(n_pages // 1000, 2)), "--hot-k", "64",
-            ],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        print("generate:", gen.stdout.strip().splitlines()[-1])
+        if not os.path.isdir(log_path):
+            gen = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "run_pipeline.py"),
+                    "--master", "local[32]", "generate",
+                    "--out", log_path, "--pages", str(n_pages),
+                    "--hot-pages", str(max(n_pages // 1000, 2)), "--hot-k", "64",
+                ],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            print("generate:", gen.stdout.strip().splitlines()[-1])
 
         r8 = run_one(8, log_path, workdir)
         print("local[8]:", r8)
