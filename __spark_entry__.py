@@ -30,6 +30,11 @@ from debezium_server_batch_spark.operators.dedup_fuzzy import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_near_dupes,
 )
+from debezium_server_batch_spark.operators.relational import (  # noqa: E402
+    asof_join,
+    session_stats,
+    topk_per_group,
+)
 from debezium_server_batch_spark.operators.similarity import brute_force_topk  # noqa: E402
 
 
@@ -156,6 +161,48 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_minutes=30.0)
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    top = topk_per_group(ev, group="user_id", order="value", k=3, tie_break="event_id")
+    return top.select("user_id", "event_id", F.round("value", 6).alias("value"), "rank_in_group")
+
+
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order
+    (o_orderdate <= ts). Right side pre-deduped per (user, date) for a
+    deterministic winner."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumnRenamed("o_custkey", "user_id")
+        .groupBy("user_id", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "ts_ms"),
+        orders,
+        by="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round("asof_o_totalprice", 6).alias("last_order_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -170,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "events_window_stats": q_events_window_stats,
         "pricing_summary": q_pricing_summary,
+        "sessionization": q_sessionization,
+        "topk_per_user": q_topk_per_user,
+        "asof_join_orders": q_asof_join_orders,
     }
 
 
@@ -294,6 +344,52 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sessionization": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            ), per AS (
+              SELECT user_id, session_id, count(*) AS n_events,
+                     epoch(max(ts)) - epoch(min(ts)) AS span_s
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   sum(n_events) AS n_events,
+                   round(avg(n_events), 6) AS avg_events_per_session,
+                   round(sum(span_s), 3) AS total_span_s
+            FROM per GROUP BY user_id
+        """,
+        "topk_per_user": """
+            WITH ranked AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rank_in_group
+              FROM events
+            )
+            SELECT user_id, event_id, round(value, 6) AS value, rank_in_group
+            FROM ranked WHERE rank_in_group <= 3
+        """,
+        "asof_join_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                   o.o_orderkey AS last_orderkey,
+                   round(o.o_totalprice, 6) AS last_order_price
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         """,
     }
 

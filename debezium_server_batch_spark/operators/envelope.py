@@ -65,15 +65,16 @@ def filter_tombstones(df: DataFrame) -> DataFrame:
 
 
 def split_envelope(df: DataFrame) -> DataFrame:
-    """S2/S3: add `payload`, `schema_str`, `schema_hash` columns.
+    """S2/S3: add `schema_str` + `schema_hash` columns (one JSON pointer
+    pass). The payload is NOT extracted as a string here — the typed
+    parse reads it straight out of the raw value with a single
+    `from_json(value, struct<payload:...>)`, so each row's JSON is
+    scanned twice total (schema pointer + typed parse), not three times.
 
     NULL schema (schemas.enable=false) hashes to a sentinel so the
     grouping still works; parse then falls back to inference (S5)."""
-    return df.withColumns(
-        {
-            "payload": F.get_json_object(F.col(VALUE), "$.payload"),
-            "schema_str": F.get_json_object(F.col(VALUE), "$.schema"),
-        }
+    return df.withColumn(
+        "schema_str", F.get_json_object(F.col(VALUE), "$.schema")
     ).withColumn("schema_hash", F.coalesce(F.xxhash64("schema_str"), F.lit(0)))
 
 
@@ -123,12 +124,18 @@ def parse_envelope_batch(
             (F.col(DESTINATION) == row[DESTINATION]) & (F.col("schema_hash") == row["schema_hash"])
         )
         if struct is None:
-            samples = [r[0] for r in grp.select("payload").limit(infer_samples).collect()]
+            samples = [
+                r[0]
+                for r in grp.select(F.get_json_object(F.col(VALUE), "$.payload"))
+                .limit(infer_samples)
+                .collect()
+            ]
             struct = _infer_struct(spark, samples)
+        wrapper = T.StructType([T.StructField("payload", struct, True)])
         typed = grp.select(
             *[F.col(c) for c in extra_cols],
-            F.from_json("payload", struct).alias("_row"),
-        ).select(*extra_cols, "_row.*")
+            F.from_json(F.col(VALUE), wrapper).alias("_env"),
+        ).select(*extra_cols, "_env.payload.*")
         out.append(
             SchemaGroup(
                 destination=row[DESTINATION],

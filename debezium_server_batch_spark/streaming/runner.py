@@ -55,6 +55,7 @@ class PipelineConfig:
     lineage_per_bucket: bool = True
     merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge
     compact_every: int | None = None  # fold MoR deltas every N batches
+    prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
     # multi-destination routing (reference G1/P5: one target table per
     # topic, name rewritten by regexp). False → single table at
     # table_root; True → table_root/<rewritten destination>.
@@ -215,7 +216,13 @@ class CdcPipeline:
                 cast_deleted_field=self.cfg.cast_deleted_field,
             )
             df = to_page_row(df)
-            deduped = lww_agg(df, key=self.cfg.key_col, order_by=self.cfg.order_by)
+            if self.cfg.merge_mode == "mor" and not self.cfg.prededup:
+                # MoR read-collapse already implements LWW per key over
+                # base+delta; a pre-merge dedup shuffle would be pure
+                # overhead (it only shrinks the delta a hot batch writes)
+                deduped = df
+            else:
+                deduped = lww_agg(df, key=self.cfg.key_col, order_by=self.cfg.order_by)
 
             table = self._table(schema=deduped.schema, destination=g.destination)
             is_last = gi == last_group_idx[g.destination]

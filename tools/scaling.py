@@ -2,10 +2,19 @@
 
 No real cluster in the sandbox, so per task instructions we run the SAME
 replay job on the SAME input at local[8] and local[32] in separate JVMs
-(fresh SparkSession each) and report throughput at both plus
-efficiency = (T8 / T32) / 4 ... i.e. speedup/4.
+(fresh SparkSession each). The sandbox host is shared and noisy
+(identical runs vary ~3×), so the protocol is noise-robust:
 
-Usage: python tools/scaling.py [n_pages] — writes tools/scaling_result.json
+  * legs alternate 8, 32, 8, 32, ... (`--reps`, default 3 each)
+  * the median throughput per parallelism level is reported
+  * efficiency = (median32 / median8) / 4
+
+Per-batch driver-side constants (Catalyst analysis + codegen per
+micro-batch, snapshot fsync) are a serial fraction that vanishes as the
+events-per-batch grows; use a workload ≥ 1M events for honest numbers.
+
+Usage: python tools/scaling.py [n_pages=400000] [reps=3]
+Writes tools/scaling_result.json.
 """
 
 from __future__ import annotations
@@ -13,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -20,24 +30,18 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(cores: int, log_path: str, workdir: str, batch_events: int = 300_000) -> dict:
+def run_leg(cores: int, log_path: str, workdir: str, batch_events: int) -> dict:
     table = os.path.join(workdir, f"pages-{cores}")
+    shutil.rmtree(table, ignore_errors=True)
     cmd = [
-        sys.executable,
-        os.path.join(REPO, "run_pipeline.py"),
-        "--master",
-        f"local[{cores}]",
-        "--shuffle-partitions",
-        str(cores),
+        sys.executable, os.path.join(REPO, "run_pipeline.py"),
+        "--master", f"local[{cores}]",
+        "--shuffle-partitions", str(cores),
         "replay",
-        "--log",
-        log_path,
-        "--table",
-        table,
-        "--batch-events",
-        str(batch_events),
-        "--buckets",
-        str(max(cores, 16)),
+        "--log", log_path,
+        "--table", table,
+        "--batch-events", str(batch_events),
+        "--buckets", "32",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -45,9 +49,10 @@ def run_one(cores: int, log_path: str, workdir: str, batch_events: int = 300_000
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    batch_events = 600_000
     workdir = tempfile.mkdtemp(prefix="dsbs-scaling-")
-    # cache the generated log across invocations (deterministic by n_pages)
     log_path = f"/tmp/dsbs-scaling-log-{n_pages}"
     try:
         if not os.path.isdir(log_path):
@@ -60,22 +65,29 @@ def main() -> None:
                 ],
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
-            print("generate:", gen.stdout.strip().splitlines()[-1])
+            print("generate:", gen.stdout.strip().splitlines()[-1], flush=True)
 
-        r8 = run_one(8, log_path, workdir)
-        print("local[8]:", r8)
-        r32 = run_one(32, log_path, workdir)
-        print("local[32]:", r32)
+        legs: dict[int, list[dict]] = {8: [], 32: []}
+        for i in range(reps):
+            for cores in (8, 32):
+                r = run_leg(cores, log_path, workdir, batch_events)
+                legs[cores].append(r)
+                print(f"rep{i} local[{cores}]: {r}", flush=True)
 
-        speedup = r32["events_per_sec"] / r8["events_per_sec"]
-        eff = speedup / 4.0
+        med8 = statistics.median(r["events_per_sec"] for r in legs[8])
+        med32 = statistics.median(r["events_per_sec"] for r in legs[32])
+        speedup = med32 / med8
         result = {
             "n_pages": n_pages,
-            "events": r32["events"],
-            "local8_events_per_sec": r8["events_per_sec"],
-            "local32_events_per_sec": r32["events_per_sec"],
+            "events": legs[8][0]["events"],
+            "batches": legs[8][0]["batches"],
+            "reps": reps,
+            "local8_events_per_sec_runs": [r["events_per_sec"] for r in legs[8]],
+            "local32_events_per_sec_runs": [r["events_per_sec"] for r in legs[32]],
+            "local8_events_per_sec": med8,
+            "local32_events_per_sec": med32,
             "speedup_8_to_32": round(speedup, 3),
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(speedup / 4.0, 3),
         }
         print(json.dumps(result))
         with open(os.path.join(REPO, "tools", "scaling_result.json"), "w") as fh:
