@@ -49,10 +49,22 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: web text compresses ~2× smaller, trading idle
+        # CPU for scarce disk/network bytes — the right side of the trade
+        # for an ingest pipeline that is storage-bandwidth-bound
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # Scaling experiments: local[N] caps task threads but NOT JVM GC
+    # threads, so low-N legs borrow extra parallelism and skew N→4N
+    # comparisons. SPARK_GRAFT_GC_THREADS pins GC to the leg's width.
+    gc_threads = os.environ.get("SPARK_GRAFT_GC_THREADS")
+    if gc_threads:
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, int(gc_threads) // 4)}",
+        )
     if master:
         b = b.master(master)
     for k, v in (extra_conf or {}).items():

@@ -21,13 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+EVENT_LOG_SCHEMA = "offset long, destination string, key string, value string"
+
+
 class EventLogSource:
-    def __init__(self, spark: SparkSession, path: str, offset_col: str = "offset"):
+    """format='parquet' (default) or 'json' — the latter reads jsonlines
+    files shaped like the reference's spooled batches
+    (AbstractChangeConsumer.getJsonLinesFile, SURVEY.md S6), one event
+    object per line, with an explicit schema (no inference pass)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        offset_col: str = "offset",
+        format: str = "parquet",
+    ):
+        if format not in ("parquet", "json"):
+            raise ValueError(f"unsupported event-log format {format!r}")
         self.spark = spark
         self.path = path
         self.offset_col = offset_col
+        self.format = format
 
     def df(self) -> DataFrame:
+        if self.format == "json":
+            return self.spark.read.schema(EVENT_LOG_SCHEMA).json(self.path)
         return self.spark.read.parquet(self.path)
 
     def read_slice(self, lo: int, hi: int) -> DataFrame:

@@ -200,7 +200,11 @@ class CdcPipeline:
         value) end-to-end. Shared by the offset-window replay loop and
         the Structured Streaming foreachBatch sink."""
         t0 = time.monotonic()
-        groups = parse_envelope_batch(raw, persist=True)
+        # persist=False deliberately: caching the split envelope costs
+        # ~20s/batch in columnar cache compression of the raw JSON
+        # strings to save a ~1s re-scan (profiled in
+        # tools/profile_replay.py) — Parquet re-scan + pushdown wins.
+        groups = parse_envelope_batch(raw, persist=False)
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
         n_events = 0
         group_records = []
