@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_s(col: F.Column) -> F.Column:
+    """Seconds-since-epoch as double; handles TIMESTAMP_NTZ (not directly
+    castable to double) by routing through TIMESTAMP first."""
+    return col.cast("timestamp").cast("double")
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",
@@ -28,7 +34,7 @@ def sessionize(
     gap to the previous event exceeds `gap_minutes`."""
     w = Window.partitionBy(key).orderBy(F.col(ts))
     prev = F.lag(F.col(ts)).over(w)
-    gap_s = F.col(ts).cast("double") - prev.cast("double")
+    gap_s = _epoch_s(F.col(ts)) - _epoch_s(prev)
     new_session = F.when(prev.isNull() | (gap_s > gap_minutes * 60.0), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(new_session).over(w))
 
@@ -43,7 +49,7 @@ def session_stats(
     s = sessionize(df, key, ts, gap_minutes)
     per_session = s.groupBy(key, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts)).cast("double") - F.min(F.col(ts)).cast("double")).alias("span_s"),
+        (_epoch_s(F.max(F.col(ts))) - _epoch_s(F.min(F.col(ts)))).alias("span_s"),
     )
     return per_session.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_sessions"),
