@@ -46,7 +46,7 @@ def run_replay(spark, sf_dir: str, workdir: str) -> dict:
     cfg = PipelineConfig(
         log_path=log_path,
         table_root=os.path.join(workdir, "pages"),
-        batch_events=100_000,  # event-count-balanced micro-batches
+        batch_events=300_000,  # event-count-balanced micro-batches
         num_buckets=32,
         merge_mode="mor",
         lineage_per_bucket=False,

@@ -304,7 +304,9 @@ class LakeTable:
     # write paths
     # ------------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame, snap: dict, schema_id: str) -> dict[str, list[dict]]:
+    def _write_files(
+        self, df: DataFrame, snap: dict, schema_id: str, rows_hint: int | None = None
+    ) -> dict[str, list[dict]]:
         """Write df bucketed by key into a fresh commit dir; return the
         per-bucket file manifest with footer row counts."""
         commit_id = uuid.uuid4().hex
@@ -314,10 +316,15 @@ class LakeTable:
         # and hash collisions leave ~1/e of even those partitions empty).
         # partitionBy still routes every row to its bucket directory; the
         # salt only splits a bucket's rows across writers (compaction
-        # folds the extra files).
+        # folds the extra files). With a rows_hint, the salt is capped so
+        # small batches don't shatter into per-file overhead: target
+        # ≥ ~50k rows per write task.
         par = self.spark.sparkContext.defaultParallelism
         n_buckets = snap["num_buckets"]
         salt_n = max(1, -(-2 * par // n_buckets))  # ceil(2P / buckets)
+        if rows_hint is not None:
+            max_tasks = max(1, rows_hint // 50_000)
+            salt_n = max(1, min(salt_n, -(-max_tasks // n_buckets)))
         (
             df.withColumn("_bucket", self._bucket_expr(snap))
             # independent hash (seeded) — salt = f(bucket) would split nothing
@@ -392,6 +399,7 @@ class LakeTable:
         deleted_col: str = "__deleted",
         checkpoint: dict | None = None,
         lineage: list[dict] | None = None,
+        rows_hint: int | None = None,
     ) -> int:
         """MERGE INTO (upsert) — the north_rule core.
 
@@ -426,7 +434,7 @@ class LakeTable:
         if snap.get("merge_mode") == "mor":
             # merge-on-read: append delta files only — O(batch) work, no
             # join, no rewrite. read()/compact() LWW-collapse later.
-            new_files = self._write_files(conform(batch, evolved), snap, sid)
+            new_files = self._write_files(conform(batch, evolved), snap, sid, rows_hint=rows_hint)
             buckets = {b: list(files) for b, files in snap["buckets"].items()}
             for b, files in new_files.items():
                 buckets.setdefault(b, []).extend(files)

@@ -251,6 +251,7 @@ class CdcPipeline:
                 deduped,
                 checkpoint=checkpoint if is_last else None,
                 lineage=[{**checkpoint, **group_record}],
+                rows_hint=g.row_count_hint,
             )
             n_events += g.row_count_hint
             group_records.append(group_record)
