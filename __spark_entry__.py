@@ -203,6 +203,37 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep docs above fixed thresholds."""
+    docs = _read(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return (
+        docs.withColumn("alpha_ratio", F.round(f["alpha_ratio"], 6))
+        .withColumn("n_tokens", f["n_tokens"])
+        .filter((F.col("alpha_ratio") >= 0.75) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "n_tokens", "alpha_ratio")
+    )
+
+
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: cluster canonicalization over exact-Jaccard pairs
+    from debezium_server_batch_spark.operators.dedup_fuzzy import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    return dedup_clusters(docs, pairs).select("doc_id", "canonical_id", "is_canonical")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: IVF ANN (k-means float math isn't portable SQL);
+    # recall vs brute force asserted in tests/test_similarity.py
+    from debezium_server_batch_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, n_clusters=8, nprobe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -220,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "topk_per_user": q_topk_per_user,
         "asof_join_orders": q_asof_join_orders,
+        "quality_filter": q_quality_filter,
+        "neardup_canonical": q_neardup_canonical,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -377,6 +411,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_id, round(value, 6) AS value, rank_in_group
             FROM ranked WHERE rank_in_group <= 3
+        """,
+        "quality_filter": """
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, alpha_ratio
+            FROM f WHERE alpha_ratio >= 0.75 AND n_tokens >= 20
         """,
         "asof_join_orders": """
             WITH o AS (

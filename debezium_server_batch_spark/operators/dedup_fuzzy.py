@@ -153,6 +153,68 @@ def minhash_near_dupes(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs (id_a, id_b) →
+    (id, component) where component = min id in the component.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds (dup clusters are near-cliques → 2-3 rounds).
+    Each round is one join + one aggregate — no driver-side graph."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize near-dup clusters: every doc mapped to its
+    component's minimum id (`canonical_id`); docs in no pair map to
+    themselves. Filter `is_canonical` to keep one representative per
+    cluster — the end-to-end near-dup removal a training pipeline runs."""
+    comp = connected_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .select(
+            df["*"],
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("canonical_id") == F.col(id_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -68,6 +68,33 @@ def test_simhash_near_dupes(docs):
     assert not any({a, b} == {3, 4} for a, b in pairs)
 
 
+def test_connected_components_and_canonical(spark, docs):
+    from debezium_server_batch_spark.operators.dedup_fuzzy import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # pairs: {0,1,2} form one cluster via (0,1) and (1,2); 3,4 are loners
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0}
+    out = dedup_clusters(docs, pairs)
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows[0] == (0, True) and rows[1] == (0, False) and rows[2] == (0, False)
+    assert rows[3] == (3, True) and rows[4] == (4, True)
+    kept = out.filter("is_canonical").count()
+    assert kept == 3  # one survivor per cluster + the two loners
+
+
+def test_connected_components_chain(spark):
+    from debezium_server_batch_spark.operators.dedup_fuzzy import connected_components
+
+    # long chain exercises multi-round propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 7
+
+
 def test_embedding_near_dupes(spark):
     base = [1.0, 0.5, -0.3, 0.8] * 4
     near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]

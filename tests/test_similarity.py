@@ -33,6 +33,23 @@ def test_arrow_and_builtin_paths_agree(emb, query_vec):
     assert arrow == builtin
 
 
+def test_ivf_topk_recall(emb, query_vec):
+    from debezium_server_batch_spark.operators.similarity import ivf_topk
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query_vec, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, query_vec, k=10, n_clusters=8, nprobe=3).collect()]
+    assert approx[0] == 0  # self is found
+    assert len(set(exact) & set(approx)) >= 5  # nprobe=3/8 → decent recall
+
+
+def test_ivf_build_deterministic(emb):
+    from debezium_server_batch_spark.operators.similarity import ivf_build
+
+    _, c1 = ivf_build(emb, k=4, iters=2)
+    _, c2 = ivf_build(emb, k=4, iters=2)
+    assert c1 == c2
+
+
 def test_lsh_topk_contains_self_and_subset_quality(emb, query_vec):
     exact = [r["vec_id"] for r in brute_force_topk(emb, query_vec, k=10).collect()]
     approx = [r["vec_id"] for r in lsh_topk(emb, query_vec, k=10, n_planes=8).collect()]
