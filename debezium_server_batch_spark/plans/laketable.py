@@ -305,7 +305,12 @@ class LakeTable:
     # ------------------------------------------------------------------
 
     def _write_files(
-        self, df: DataFrame, snap: dict, schema_id: str, rows_hint: int | None = None
+        self,
+        df: DataFrame,
+        snap: dict,
+        schema_id: str,
+        rows_hint: int | None = None,
+        codec: str | None = None,
     ) -> dict[str, list[dict]]:
         """Write df bucketed by key into a fresh commit dir; return the
         per-bucket file manifest with footer row counts."""
@@ -325,7 +330,7 @@ class LakeTable:
         if rows_hint is not None:
             max_tasks = max(1, rows_hint // 50_000)
             salt_n = max(1, min(salt_n, -(-max_tasks // n_buckets)))
-        (
+        writer = (
             df.withColumn("_bucket", self._bucket_expr(snap))
             # independent hash (seeded) — salt = f(bucket) would split nothing
             .withColumn("_wsalt", F.pmod(F.xxhash64(F.lit(1), F.col(snap["key_col"])), F.lit(salt_n)))
@@ -333,8 +338,10 @@ class LakeTable:
             .drop("_wsalt")
             .write.partitionBy("_bucket")
             .mode("overwrite")
-            .parquet(out_dir)
         )
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(out_dir)
         import pyarrow.parquet as pq
 
         manifest: dict[str, list[dict]] = {}
@@ -434,7 +441,11 @@ class LakeTable:
         if snap.get("merge_mode") == "mor":
             # merge-on-read: append delta files only — O(batch) work, no
             # join, no rewrite. read()/compact() LWW-collapse later.
-            new_files = self._write_files(conform(batch, evolved), snap, sid, rows_hint=rows_hint)
+            # Deltas are transient (compaction rewrites them under the
+            # session codec, zstd) → cheap snappy on the hot write path.
+            new_files = self._write_files(
+                conform(batch, evolved), snap, sid, rows_hint=rows_hint, codec="snappy"
+            )
             buckets = {b: list(files) for b, files in snap["buckets"].items()}
             for b, files in new_files.items():
                 buckets.setdefault(b, []).extend(files)
