@@ -67,14 +67,17 @@ def q_cdc_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_append_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # reference semantics (W1/W2): append-only ledger + per-key stats
+    # reference semantics (W1/W2): append-only ledger + per-key stats.
+    # SUM over doubles is order-dependent (last-ulp noise flips rounding);
+    # cast to DECIMAL first — decimal addition is associative, so the sum
+    # is bit-identical across engines and partitionings.
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_deletes"),
         F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("first_ts_ms"),
         F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("last_ts_ms"),
-        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 
@@ -140,7 +143,11 @@ def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: associative, engine/partitioning-independent
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
         .withColumn("hour_ms", F.unix_millis(F.col("hour_ts").cast("timestamp")))
         .drop("hour_ts")
     )
@@ -153,9 +160,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -278,7 +287,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
                    min(epoch_ms(ts)) AS first_ts_ms,
                    max(epoch_ms(ts)) AS last_ts_ms,
-                   round(sum(value), 3) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY user_id
         """,
         "dedup_exact": """
@@ -365,15 +374,15 @@ def oracle_sql() -> dict[str, str]:
         "events_window_stats": """
             SELECT event_type,
                    count(*) AS n,
-                   round(sum(value), 3) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                    epoch_ms(date_trunc('hour', ts)) AS hour_ms
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -392,14 +401,14 @@ def oracle_sql() -> dict[str, str]:
               FROM marked
             ), per AS (
               SELECT user_id, session_id, count(*) AS n_events,
-                     epoch(max(ts)) - epoch(min(ts)) AS span_s
+                     epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
               FROM sess GROUP BY user_id, session_id
             )
             SELECT user_id,
                    count(*) AS n_sessions,
                    sum(n_events) AS n_events,
-                   round(avg(n_events), 6) AS avg_events_per_session,
-                   round(sum(span_s), 3) AS total_span_s
+                   CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session,
+                   sum(span_ms) AS total_span_ms
             FROM per GROUP BY user_id
         """,
         "topk_per_user": """

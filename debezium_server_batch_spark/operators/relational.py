@@ -45,18 +45,26 @@ def session_stats(
     ts: str = "ts",
     gap_minutes: float = 30.0,
 ) -> DataFrame:
-    """Per-key session rollup: session count, events per session, span."""
+    """Per-key session rollup: session count, events per session, span.
+
+    Spans are integer milliseconds and the rollup sums longs — exact and
+    order-independent, so results are bit-identical across engines and
+    partitionings (a double-seconds sum is not: float addition isn't
+    associative). The average is a single long/long division, also
+    deterministic."""
     s = sessionize(df, key, ts, gap_minutes)
     per_session = s.groupBy(key, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (_epoch_s(F.max(F.col(ts))) - _epoch_s(F.min(F.col(ts)))).alias("span_s"),
+        (
+            F.unix_millis(F.max(F.col(ts)).cast("timestamp"))
+            - F.unix_millis(F.min(F.col(ts)).cast("timestamp"))
+        ).alias("span_ms"),
     )
     return per_session.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
-        F.round(F.sum("span_s"), 3).alias("total_span_s"),
-    )
+        F.sum("span_ms").alias("total_span_ms"),
+    ).withColumn("avg_events_per_session", F.col("n_events") / F.col("n_sessions"))
 
 
 def topk_per_group(
