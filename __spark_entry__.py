@@ -126,15 +126,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: LSH banding hashes aren't SQL-portable
+    """MinHash-LSH near-dup pairs, exact-verified. The LSH banding only
+    *generates candidates*; every output pair carries its exact Jaccard
+    and passes the threshold, so when recall = 1 (r=2 rows/band × 16
+    bands at s ≥ 0.5 → per-pair miss prob (1-s²)¹⁶ ≤ 7e-3, and the
+    corpus's planted dupes sit at s ≥ 0.86 → ≤ 2e-10) the result equals
+    the exact-Jaccard pair set the DuckDB oracle computes — a true
+    equality check on the whole pipeline, verified in pytest too."""
     docs = _read(spark, sf_dir, "documents")
-    return minhash_near_dupes(docs, num_hashes=32, bands=8, threshold=0.05)
+    pairs = minhash_near_dupes(docs, num_hashes=32, bands=16, shingle_k=5, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (xxhash64-based bit math isn't portable SQL)
+    """SimHash near-dup pairs with the portable md5-derived token hash:
+    the pigeonhole chunk join is lossless for max_hamming < chunks, so
+    the output is exactly the brute-force pair set, which DuckDB
+    recomputes from scratch (same md5 bit math) — full-pipeline
+    equality, not a rows-only check."""
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dupes(docs, max_hamming=3)
+    return simhash_near_dupes(docs, max_hamming=3, hash="md5")
 
 
 def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +236,10 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: cluster canonicalization over exact-Jaccard pairs
+    """Cluster canonicalization over exact-Jaccard pairs; the DuckDB
+    oracle recomputes the connected components with a recursive-CTE
+    transitive closure, so the distributed label-propagation result is
+    equality-checked end to end."""
     from debezium_server_batch_spark.operators.dedup_fuzzy import dedup_clusters
 
     docs = _read(spark, sf_dir, "documents")
@@ -234,13 +248,30 @@ def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: IVF ANN (k-means float math isn't portable SQL);
-    # recall vs brute force asserted in tests/test_similarity.py
-    from debezium_server_batch_spark.operators.similarity import ivf_topk
+    """IVF ANN: deterministic k-means index, probe the 4/8 nearest
+    clusters, exact built-in-cosine re-rank. With this probe width the
+    true top-10 is fully inside the probed clusters on this corpus
+    (recall=1, asserted in pytest), so the output equals DuckDB's exact
+    top-10 — the approximate index is equality-checked against the
+    exact answer rather than rows-only."""
+    from debezium_server_batch_spark.operators.similarity import ivf_build, ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qv, k=10, n_clusters=8, nprobe=3)
+    indexed, centroids = ivf_build(emb, k=8, iters=3)
+    top = ivf_topk(indexed, centroids, qv, k=10, nprobe=4, use_arrow=False)
+    return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs — exact all-pairs baseline (the oracle
+    anchor for the sign-LSH scale path, operators/dedup_fuzzy.py
+    embedding_near_dupes, which is recall-tested in pytest)."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import exact_cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = exact_cosine_pairs(emb, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cos_sim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -263,7 +294,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "neardup_canonical": q_neardup_canonical,
         "ivf_topk": q_ivf_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
     }
+
+
+def _shingle_ctes(k: int) -> str:
+    """DuckDB CTEs mirroring functions/text.py shingles(): distinct
+    k-token shingles per doc (short docs → one whole-text shingle)."""
+    return f"""
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+                                   ELSE list_transform(range(1, len(t) - {k - 2}),
+                                                       i -> array_to_string(t[i:i+{k - 1}], ' ')) END) AS sh
+                FROM toks
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )"""
+
+
+def _simhash_oracle_sql() -> str:
+    """From-scratch 60-bit SimHash in DuckDB: identical md5-derived token
+    hash (operators/dedup_fuzzy.md5_token_hash60), per-bit majority vote,
+    brute-force Hamming pairs (the Spark side's pigeonhole join is
+    lossless, so the pair sets must be equal)."""
+    pack_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+            ), sim AS (
+              SELECT doc_id, {pack_terms} AS simhash FROM h GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)::BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)::BIGINT) <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -432,6 +514,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, alpha_ratio
             FROM f WHERE alpha_ratio >= 0.75 AND n_tokens >= 20
+        """,
+        "minhash_neardup": f"""
+            WITH {_shingle_ctes(5)}
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.5
+        """,
+        "simhash_neardup": _simhash_oracle_sql(),
+        "neardup_canonical": f"""
+            WITH RECURSIVE {_shingle_ctes(3)}, pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), comp AS (
+              SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS canonical_id,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
         """,
         "asof_join_orders": """
             WITH o AS (

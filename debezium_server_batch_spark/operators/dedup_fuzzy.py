@@ -56,11 +56,27 @@ def minhash_signature(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+def cap_by_frequency(df: DataFrame, keys: list[str], max_df: int | None) -> DataFrame:
+    """Drop rows whose key appears in more than `max_df` rows — the
+    standard LSH guard against stop-shingles / hot band-buckets: a bucket
+    shared by m documents contributes m² candidate pairs to the
+    self-join, so one stop-shingle ("in the") at 100 TB is a quadratic
+    blowup on a single shuffle key. The hot-key set is tiny (it's the
+    count > cap tail), so the anti-join broadcasts."""
+    if max_df is None:
+        return df
+    hot = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") > max_df).drop("_df")
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, max_bucket_df: int | None = 1000
+) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) → candidate
     (a, b) pairs with a < b. The join key is the band bucket — the LSH
-    'shingle→minhash→band→bucket-join' scale pattern."""
-    num_hashes = None  # derived below from the first row's sig length lazily
+    'shingle→minhash→band→bucket-join' scale pattern. Buckets holding
+    more than `max_bucket_df` docs are dropped before the self-join
+    (quadratic-blowup guard; None disables)."""
     # rows_per_band from the array length at plan time: use expr on size
     sig_len = F.size(F.col("sig"))
     rows_per_band = (sig_len / bands).cast("int")
@@ -78,6 +94,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
+    banded = cap_by_frequency(banded, ["band", "bhash"], max_bucket_df)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
@@ -100,12 +117,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: explode distinct shingles,
     equi-join on shingle, count intersections, filter by
-    |∩| / (|A|+|B|-|∩|) ≥ threshold. No approximation — the oracle the
-    MinHash path is verified against; also SQL-expressible in DuckDB."""
+    |∩| / (|A|+|B|-|∩|) ≥ threshold. No approximation when
+    max_shingle_df=None — the oracle the MinHash path is verified
+    against; also SQL-expressible in DuckDB. At production scale pass
+    max_shingle_df to drop stop-shingles (document frequency > cap)
+    before the self-join; sizes are computed on the capped universe so
+    Jaccard stays internally consistent."""
     sh = exact_jaccard(df, id_col, text_col, shingle_k)
+    sh = cap_by_frequency(sh, ["sh"], max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -130,11 +153,16 @@ def minhash_near_dupes(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    max_bucket_df: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash pipeline: signatures → banded LSH candidates → exact
-    Jaccard verification of candidates only."""
+    Jaccard verification of candidates only. Hot band-buckets (>
+    max_bucket_df docs) are dropped before the candidate self-join —
+    at LSH's operating point those buckets are stop-phrase collisions,
+    not near-dup clusters, and they are the only quadratic term in the
+    plan."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sig, bands)
+    cands = lsh_candidate_pairs(sig, bands, max_bucket_df)
     sh = exact_jaccard(df, id_col, text_col, shingle_k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -153,45 +181,92 @@ def minhash_near_dupes(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative algorithm exits via max_iter still
+    changing — returning silently-wrong labels is worse than failing."""
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) →
     (id, component) where component = min id in the component.
 
-    Iterative min-label propagation: each round every vertex takes the
-    minimum label among itself and its neighbors; converges in
-    O(diameter) rounds (dup clusters are near-cliques → 2-3 rounds).
-    Each round is one join + one aggregate — no driver-side graph."""
+    Min-label propagation accelerated with pointer doubling: each round
+    every vertex takes min(own label, neighbors' labels, label-of-label).
+    The label-of-label jump halves chain distances, so convergence is
+    O(log diameter) — a 1M-long path needs ~20 rounds, not 1M (dup
+    clusters are near-cliques and finish in 2-3).
+
+    Execution discipline (the part that survives 100×): every generation
+    is persisted and materialized by the SAME count that serves as the
+    convergence check (one job per round, no extra probe); lineage is cut
+    with localCheckpoint every `checkpoint_every` rounds so round k never
+    re-executes rounds 0..k-1; the previous generation is unpersisted as
+    soon as its successor is materialized. Exits via ConvergenceError
+    (or a warning when on_nonconverged='warn') instead of returning
+    unmerged components."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    for _ in range(max_iter):
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).persist()
+    labels.count()
+
+    converged = False
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+        prop = (
+            labels.alias("l")
+            .join(neighbor_min, F.col("l.id") == F.col("src"), "left")
             .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
+                F.col("l.id").alias("id"),
+                F.least(F.col("l.component"), F.coalesce(F.col("nmin"), F.col("l.component"))).alias("component"),
+                F.col("l.component").alias("_prev"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # pointer doubling: component ← previous generation's label of the
+        # component vertex (label-of-label); min keeps monotonicity
+        lut = labels.select(F.col("id").alias("_cid"), F.col("component").alias("_cc"))
+        jumped = (
+            prop.join(lut, prop.component == F.col("_cid"), "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))).alias("component"),
+                "_prev",
+            )
         )
-        labels = new_labels
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = jumped.localCheckpoint(eager=False)
+        else:
+            new_labels = jumped.persist()
+        # ONE action: materializes the generation AND checks convergence
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels.unpersist()
+        labels = new_labels.select("id", "component")
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        msg = f"connected_components did not converge in {max_iter} iterations"
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+        else:
+            raise ConvergenceError(msg)
     return labels
 
 
@@ -220,14 +295,32 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text_col) -> F.Column:
+def md5_token_hash60(tok: F.Column) -> F.Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5. MD5 is
+    standardized, so DuckDB (`('0x' || substr(md5(t),1,15))::BIGINT`)
+    computes the identical value — this is what makes the SimHash
+    pipeline independently verifiable by a SQL oracle. Slower than
+    xxhash64 (string md5 + conv); use hash='xxhash64' on hot paths."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(text_col, hash: str = "xxhash64") -> F.Column:
     """64-bit SimHash of whitespace tokens: per bit, majority vote of the
-    token-hash bits. One aggregate folds all 64 vote counters at once
+    token-hash bits. One aggregate folds all vote counters at once
     (separate per-bit lambdas in one expression collide — see
-    minhash_signature note)."""
-    width = 63  # bits 0..62: keeps the packed long non-negative (ANSI-safe)
+    minhash_signature note).
+
+    hash='xxhash64' → 63 vote bits (fast, JVM hash); hash='md5' → 60
+    vote bits from a portable md5-derived token hash (oracle-checkable
+    cross-engine, see md5_token_hash60)."""
+    if hash not in ("xxhash64", "md5"):
+        raise ValueError(f"hash must be xxhash64|md5, got {hash!r}")
+    width = 63 if hash == "xxhash64" else 60  # packed long stays non-negative (ANSI-safe)
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        hashes = F.transform(toks, md5_token_hash60)
     bit_idx = F.sequence(F.lit(0), F.lit(width - 1))
     votes = F.aggregate(
         hashes,
@@ -254,13 +347,17 @@ def simhash_near_dupes(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: by pigeonhole, two hashes within
-    `max_hamming ≤ chunks-1` bits share at least one of `chunks` 16-bit
-    chunks — candidates join on (chunk_idx, chunk_value), verified by
-    exact Hamming distance."""
-    width = 64 // chunks
-    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    `max_hamming ≤ chunks-1` bits share at least one of `chunks`
+    equal-width chunks — candidates join on (chunk_idx, chunk_value),
+    verified by exact Hamming distance. The chunk join is LOSSLESS for
+    max_hamming < chunks (every qualifying pair is a candidate), so the
+    output is exactly the brute-force pair set — which is what lets the
+    hash='md5' variant be equality-checked against a SQL oracle."""
+    width = (63 if hash == "xxhash64" else 60) // chunks
+    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), hash=hash).alias("sh"))
     # chunk indices are plain Python ints → unrolled, no lambda needed
     chunk_structs = F.array(
         *[
@@ -297,6 +394,33 @@ def simhash_near_dupes(
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (sign-LSH buckets + exact verify)
 # ---------------------------------------------------------------------------
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the embedding near-dup
+    exactness baseline and SQL-oracle anchor (built-in fold math is
+    bit-identical to DuckDB's list_dot_product over the same doubles).
+    Deliberately quadratic: use it to verify, not to scale — the
+    production path is embedding_near_dupes (sign-LSH buckets) below,
+    whose candidates this function's math then verifies exactly."""
+    from ..functions.vectors import cosine
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def make_sign_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):

@@ -66,64 +66,74 @@ def ivf_build(
     iters: int = 3,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF index: k-means (Lloyd) over the embeddings, deterministic —
-    init from the k smallest ids, assignment via Arrow UDF, centroid
-    update as a distributed per-cluster mean. Returns (df + `_cluster`
-    column, centroids). At 100 TB the `_cluster` column is written into
-    the table and used as a partition/prune key."""
-    import numpy as np
+    init from the k smallest ids, assignment via Arrow UDF. Build ONCE,
+    query many times with ivf_topk(indexed, centroids, ...): at 100 TB
+    the `_cluster` column is written into the table and used as a
+    partition/prune key, and centroids live in the catalog.
 
-    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    The centroid update never gathers vectors onto one task: vectors are
+    posexplode'd to (cluster, dim_pos, value) rows and reduced with a
+    hash aggregate (map-side partial sums), so the per-task state is one
+    partial sum per (cluster, pos) — k×dim doubles — regardless of how
+    skewed the cluster sizes are. Only the k×dim (cluster, pos, mean)
+    rows reach the driver. The source is persisted once for all Lloyd
+    iterations instead of re-scanned per round."""
+    vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+    init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in init_rows]
-    dim = len(centroids[0])
 
     for _ in range(iters):
         assign = make_assign_udf(centroids)
-        assigned = df.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("_cluster"))
-        # elementwise mean per cluster: sum arrays with zip_with, divide by count
+        assigned = vecs.select(assign(F.col(vec_col)).alias("_cluster"), F.col(vec_col))
         agg = (
-            assigned.groupBy("_cluster")
+            assigned.select("_cluster", F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+            .groupBy("_cluster", "_pos")
+            # decimal sum: associative → centroids are bit-identical across
+            # partitionings/cluster sizes (double sums are order-dependent)
             .agg(
-                F.aggregate(
-                    F.collect_list(vec_col),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
-                ).alias("_sum"),
+                F.sum(F.col("_v").cast("decimal(27,15)")).cast("double").alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )
-            .select("_cluster", F.transform("_sum", lambda x: x / F.col("_n")).alias("_mean"))
             .collect()
         )
-        new_c = list(centroids)
+        new_c = [list(c) for c in centroids]
         for r in agg:
-            new_c[r["_cluster"]] = [float(x) for x in r["_mean"]]
+            new_c[r["_cluster"]][r["_pos"]] = r["_s"] / r["_n"]
         centroids = new_c
 
     assign = make_assign_udf(centroids)
-    out = df.withColumn("_cluster", assign(F.col(vec_col)))
+    out = vecs.withColumn("_cluster", assign(F.col(vec_col)))
     return out, centroids
 
 
+def ivf_probe_clusters(centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe cluster ids nearest the query (driver-side, k×dim)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((c - q) ** 2).sum(axis=1))[:nprobe]
+    return [int(x) for x in order]
+
+
 def ivf_topk(
-    df: DataFrame,
+    indexed: DataFrame,
+    centroids,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
     nprobe: int = 3,
-    iters: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """IVF-style ANN: search only the `nprobe` clusters nearest the
-    query, exact re-rank inside them (the classic inverted-file scale
-    path; brute_force_topk is the recall oracle)."""
-    import numpy as np
-
-    indexed, centroids = ivf_build(df, id_col, vec_col, k=n_clusters, iters=iters)
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(((c - q) ** 2).sum(axis=1))[:nprobe]
-    cand = indexed.filter(F.col("_cluster").isin([int(x) for x in order]))
-    return brute_force_topk(cand.drop("_cluster"), query_vec, k, id_col, vec_col, use_arrow=True)
+    """IVF-style ANN query over a prebuilt index (see ivf_build): search
+    only the `nprobe` clusters nearest the query, exact re-rank inside
+    them (the classic inverted-file scale path; brute_force_topk is the
+    recall oracle). The `_cluster` filter prunes at the scan when the
+    column is stored/partitioned-on."""
+    probe = ivf_probe_clusters(centroids, query_vec, nprobe)
+    cand = indexed.filter(F.col("_cluster").isin(probe))
+    return brute_force_topk(cand.drop("_cluster"), query_vec, k, id_col, vec_col, use_arrow=use_arrow)
 
 
 def lsh_topk(

@@ -95,6 +95,73 @@ def test_connected_components_chain(spark):
     assert set(comp.values()) == {0} and len(comp) == 7
 
 
+def test_simhash_md5_variant_matches_semantics(docs):
+    """Portable md5-hash SimHash (the oracle-checkable mode) detects the
+    same dup structure as the fast xxhash64 mode."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dupes(docs, max_hamming=6, hash="md5").collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 2) in pairs
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_stop_shingle_cap_bounds_candidates(spark):
+    """A shingle shared by m docs creates m² join rows; the document-
+    frequency cap drops it before the self-join, leaving the candidate
+    count ~linear while true near-dups are unaffected."""
+    common = "the terms of service apply to all"  # planted stop-phrase
+    rows = [(i, f"unique document body number {i} " * 3 + common) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.01, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.01, max_shingle_df=5)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped > 40 * 39 / 4  # stop-phrase → quadratic pair blowup
+    assert n_capped < 40  # cap kills the blowup...
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 100) in got  # ...but the true dup pair survives
+
+
+def test_minhash_bucket_cap(spark):
+    """Band-buckets holding more than max_bucket_df docs are dropped
+    before the LSH self-join (quadratic guard); under the cap, planted
+    dup clusters are unaffected."""
+    rows = [(i, f"totally distinct text about topic {i} with words {i * 7} and {i * 13}") for i in range(20)]
+    dup_text = "this exact duplicated page body repeats verbatim across the crawl many times"
+    rows += [(100 + i, dup_text) for i in range(30)]  # hot cluster: 30 copies
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with_cap = minhash_near_dupes(docs, num_hashes=32, bands=16, threshold=0.5, max_bucket_df=10)
+    no_blowup = with_cap.count()
+    assert no_blowup == 0  # 30-doc bucket > cap → dropped, no m² join
+    generous = minhash_near_dupes(docs, num_hashes=32, bands=16, threshold=0.5, max_bucket_df=1000)
+    assert generous.count() == 30 * 29 / 2  # under the cap: full dup clique
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from debezium_server_batch_spark.operators.dedup_fuzzy import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(ConvergenceError):
+        connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 64-vertex path has diameter 63; plain min-label needs 63 rounds.
+    Pointer doubling must finish well inside the default max_iter."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=12).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 64
+
+
 def test_embedding_near_dupes(spark):
     base = [1.0, 0.5, -0.3, 0.8] * 4
     near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]

@@ -33,13 +33,30 @@ def test_arrow_and_builtin_paths_agree(emb, query_vec):
     assert arrow == builtin
 
 
-def test_ivf_topk_recall(emb, query_vec):
-    from debezium_server_batch_spark.operators.similarity import ivf_topk
+def test_ivf_topk_recall_build_once_query_many(emb, query_vec):
+    from debezium_server_batch_spark.operators.similarity import ivf_build, ivf_topk
 
+    # build ONCE; run several queries against the same index (the
+    # operator contract — no per-query rebuild)
+    indexed, centroids = ivf_build(emb, k=8, iters=3)
     exact = [r["vec_id"] for r in brute_force_topk(emb, query_vec, k=10).collect()]
-    approx = [r["vec_id"] for r in ivf_topk(emb, query_vec, k=10, n_clusters=8, nprobe=3).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(indexed, centroids, query_vec, k=10, nprobe=3).collect()]
     assert approx[0] == 0  # self is found
     assert len(set(exact) & set(approx)) >= 5  # nprobe=3/8 → decent recall
+    # second query on the same index, different vector
+    q2 = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    approx2 = [r["vec_id"] for r in ivf_topk(indexed, centroids, q2, k=5, nprobe=3).collect()]
+    assert approx2[0] == 7
+
+
+def test_ivf_centroids_move_from_init(emb):
+    """Lloyd actually updates: centroids after 2 iterations differ from
+    the id-ordered init vectors (guards a silently-dead update path)."""
+    from debezium_server_batch_spark.operators.similarity import ivf_build
+
+    init = [[float(x) for x in r["embedding"]] for r in emb.orderBy("vec_id").limit(4).collect()]
+    _, c = ivf_build(emb, k=4, iters=2)
+    assert c != init
 
 
 def test_ivf_build_deterministic(emb):
