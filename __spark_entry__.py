@@ -274,6 +274,45 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cos_sim"))
 
 
+def q_cdc_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the engine's table format: land the events
+    ledger in a day-partitioned LakeTable (days(ts) alongside
+    bucket(event_id) — the reference's objectkey-partition on event
+    time), then aggregate a day-sliced read. The slice scans ONLY the 5
+    matching day partitions (file-level pruning is asserted in
+    tests/test_laketable.py); the oracle computes the same slice from
+    the raw parquet, so write→partition→prune→read is equality-checked."""
+    import shutil
+    import tempfile
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    ev = _read(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="dsbs-timeslice-")
+    try:
+        t = LakeTable.create(
+            spark,
+            os.path.join(workdir, "ledger"),
+            schema=ev.schema,
+            key_col="event_id",
+            num_buckets=8,
+            order_by=("event_id",),
+            partition_ts_col="ts",
+        )
+        t.append(ev)
+        sliced = t.read(days=("2024-01-10", "2024-01-14"))
+        out = sliced.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        # materialize before dropping the temp table files
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -295,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_canonical": q_neardup_canonical,
         "ivf_topk": q_ivf_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "cdc_time_slice": q_cdc_time_slice,
     }
 
 
@@ -569,6 +609,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+        """,
+        "cdc_time_slice": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+            GROUP BY event_type
         """,
         "asof_join_orders": """
             WITH o AS (

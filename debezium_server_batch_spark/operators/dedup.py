@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 DEFAULT_ORDER = ("__lsn", "__source_ts_ms", "offset")
 
 
+def _keys(key) -> list[str]:
+    """Normalize a single key column or a composite key to a list —
+    composite primary keys come from the Debezium key envelope
+    (reference DebeziumBigqueryEvent.java:61-70 clusters by key-schema
+    fields; a MySQL table can have a multi-column PK)."""
+    return [key] if isinstance(key, str) else list(key)
+
+
 def _order_cols(df: DataFrame, order_by: tuple[str, ...]) -> list[str]:
     missing = [c for c in order_by if c not in df.columns]
     if missing:
@@ -35,9 +43,9 @@ def _order_cols(df: DataFrame, order_by: tuple[str, ...]) -> list[str]:
     return list(order_by)
 
 
-def lww_window(df: DataFrame, key: str = "url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
+def lww_window(df: DataFrame, key="url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
     order = _order_cols(df, order_by)
-    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order])
+    w = Window.partitionBy(*_keys(key)).orderBy(*[F.col(c).desc() for c in order])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -52,11 +60,11 @@ def _max_struct(df: DataFrame, order: list[str]):
     return F.max(F.struct(*[F.col(c) for c in order], payload)).alias("_m")
 
 
-def lww_agg(df: DataFrame, key: str = "url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
+def lww_agg(df: DataFrame, key="url", order_by: tuple[str, ...] = DEFAULT_ORDER) -> DataFrame:
     order = _order_cols(df, order_by)
     cols = df.columns
     return (
-        df.groupBy(key)
+        df.groupBy(*_keys(key))
         .agg(_max_struct(df, order))
         .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
     )
@@ -64,7 +72,7 @@ def lww_agg(df: DataFrame, key: str = "url", order_by: tuple[str, ...] = DEFAULT
 
 def lww_salted(
     df: DataFrame,
-    key: str = "url",
+    key="url",
     order_by: tuple[str, ...] = DEFAULT_ORDER,
     salt_buckets: int = 64,
 ) -> DataFrame:
@@ -75,15 +83,16 @@ def lww_salted(
     because max is associative/commutative over the same total order."""
     order = _order_cols(df, order_by)
     cols = df.columns
+    keys = _keys(key)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets)).alias("_salt")
     phase1 = (
         df.withColumn("_salt", salt)
-        .groupBy(key, "_salt")
+        .groupBy(*keys, "_salt")
         .agg(_max_struct(df.drop("_salt") if "_salt" in df.columns else df, order))
-        .select(F.col(key).alias("_k"), F.col("_m"))
+        .select(*[F.col(k) for k in keys], F.col("_m"))
     )
     return (
-        phase1.groupBy("_k")
+        phase1.groupBy(*keys)
         .agg(F.max("_m").alias("_m"))
         .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
     )

@@ -55,7 +55,27 @@ class SchemaGroup:
     row_count_hint: int
     struct: T.StructType | None
     df: DataFrame  # typed payload columns + `offset`
+    # primary-key field names parsed from the Debezium KEY envelope's
+    # Connect schema (reference DebeziumBigqueryEvent.java:61-70 derives
+    # clustering from the key schema); None when events carry no key
+    key_fields: list[str] | None = None
     _source: DataFrame | None = None  # persisted split-envelope df, if any
+
+
+def parse_key_fields(key_schema_json: str | None) -> list[str] | None:
+    """Field names of the key envelope's Connect schema, in order —
+    the per-destination primary key (composite keys supported)."""
+    if not key_schema_json:
+        return None
+    try:
+        node = json.loads(key_schema_json)
+    except (ValueError, TypeError):
+        return None
+    fields = node.get("fields") if isinstance(node, dict) else None
+    if not fields:
+        return None
+    names = [f.get("field") for f in fields if isinstance(f, dict) and f.get("field")]
+    return names or None
 
 
 def filter_tombstones(df: DataFrame) -> DataFrame:
@@ -110,6 +130,9 @@ def parse_envelope_batch(
         ev.groupBy(DESTINATION, "schema_hash")
         .agg(
             F.first("schema_str", ignorenulls=True).alias("schema_str"),
+            # key schema: one JSON pointer over the (small) key string,
+            # aggregated away — the per-destination PK definition
+            F.first(F.get_json_object(F.col(KEY), "$.schema"), ignorenulls=True).alias("key_schema_str"),
             F.min(OFFSET).alias("min_offset"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -145,6 +168,7 @@ def parse_envelope_batch(
                 row_count_hint=row["n"],
                 struct=struct,
                 df=typed,
+                key_fields=parse_key_fields(row["key_schema_str"]),
                 _source=ev if persist else None,
             )
         )

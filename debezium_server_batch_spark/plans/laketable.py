@@ -51,6 +51,14 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A concurrent committer advanced the table and this commit's
+    changes cannot be replayed onto the winner's snapshot (rewrites are
+    computed against a specific base). Recompute from the new current
+    snapshot and retry — never re-link the stale payload, which would
+    silently erase the winner's data files (lost update)."""
+
+
 # type-widening lattice (Connect → Spark types only; SURVEY.md §1.4)
 _PROMOTIONS: dict[tuple[str, str], str] = {
     ("integer", "long"): "long",
@@ -122,6 +130,7 @@ class LakeTable:
         num_buckets: int = 16,
         order_by: tuple[str, ...] = ("__lsn",),
         merge_mode: str = "cow",
+        partition_ts_col: str | None = None,
     ) -> "LakeTable":
         """merge_mode:
           * "cow" — copy-on-write: merge joins and rewrites affected
@@ -132,6 +141,13 @@ class LakeTable:
             per key; compact() folds deltas back down. Best for frequent
             micro-batches — the CDC tail-ingest shape (Iceberg/Hudi MoR
             equivalent).
+
+        partition_ts_col adds a time dimension to the layout — the
+        analogue of Iceberg ``days(warc_ts)`` alongside ``bucket(url)``
+        (the reference's dt= objectkey-partition,
+        BatchSparkChangeConsumer.java:130-135, but on EVENT time):
+        files land under _bucket=N/_day=D and time-ranged reads
+        (read(days=...)) scan only matching files.
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
@@ -140,22 +156,22 @@ class LakeTable:
         os.makedirs(os.path.join(root, cls.DATA), exist_ok=True)
         if t.current_version() is not None:
             raise FileExistsError(f"LakeTable already exists at {root}")
-        t._commit(
-            {
-                "parent": None,
-                "key_col": key_col,
-                "num_buckets": num_buckets,
-                "order_by": list(order_by),
-                "merge_mode": merge_mode,
-                "needs_collapse": False,
-                "schemas": {"0": schema.json()},
-                "current_schema_id": "0",
-                "buckets": {},
-                "checkpoint": None,
-                "lineage": [],
-                "summary": {"operation": "create", "total_rows": 0},
-            }
-        )
+        payload = {
+            "parent": None,
+            "key_col": key_col,
+            "num_buckets": num_buckets,
+            "order_by": list(order_by),
+            "merge_mode": merge_mode,
+            "partition_ts_col": partition_ts_col,
+            "needs_collapse": False,
+            "schemas": {"0": schema.json()},
+            "current_schema_id": "0",
+            "buckets": {},
+            "checkpoint": None,
+            "lineage": [],
+            "summary": {"operation": "create", "total_rows": 0},
+        }
+        t._commit(lambda base: dict(payload), rebaseable=False, expected_base=None)
         return t
 
     @classmethod
@@ -188,23 +204,60 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError("table has no snapshots")
-        with open(os.path.join(self._meta_dir(), f"v{v:08d}.json")) as fh:
+        path = os.path.join(self._meta_dir(), f"v{v:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"version {v} of {self.root} is expired (vacuumed) or unknown; "
+                f"retained versions: {self.versions()}"
+            )
+        with open(path) as fh:
             return json.load(fh)
 
-    def history(self) -> list[dict[str, Any]]:
-        cur = self.current_version()
-        return [self.snapshot(v) for v in range(cur + 1)] if cur is not None else []
+    def versions(self) -> list[int]:
+        """Retained (non-expired) snapshot versions, ascending."""
+        meta = self._meta_dir()
+        if not os.path.isdir(meta):
+            return []
+        return sorted(
+            int(f[1:9]) for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+        )
 
-    def _commit(self, snap: dict[str, Any]) -> int:
-        """Atomically claim the next version (hard-link O_EXCL semantics;
-        optimistic retry on a lost race — Iceberg's commit protocol)."""
+    def history(self) -> list[dict[str, Any]]:
+        return [self.snapshot(v) for v in self.versions()]
+
+    def _commit(
+        self,
+        build,
+        rebaseable: bool,
+        expected_base: int | None = None,
+        retries: int = 20,
+    ) -> int:
+        """Atomically claim the next version (hard-link O_EXCL semantics).
+
+        `build(base_snapshot | None) -> payload` constructs the commit
+        from the CURRENT snapshot, re-invoked after every lost race —
+        Iceberg's optimistic re-apply, not a blind retry. Additive
+        commits (appends, MoR deltas, checkpoints) pass rebaseable=True:
+        their builder re-applies the file additions onto whatever the
+        winner committed. Rewrites (CoW merge, compact) are computed
+        against one specific base — they pass rebaseable=False +
+        expected_base and get ConcurrentCommitError if the table moved,
+        because re-linking the stale rewrite would erase the winner's
+        files (lost update)."""
         meta = self._meta_dir()
         os.makedirs(meta, exist_ok=True)
-        tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
-        for _ in range(20):
+        for _ in range(retries):
             cur = self.current_version()
+            if not rebaseable and cur != expected_base:
+                raise ConcurrentCommitError(
+                    f"table at {self.root} advanced to v{cur}; this rewrite was computed "
+                    f"against v{expected_base} — recompute from the current snapshot"
+                )
+            base = self.snapshot(cur) if cur is not None else None
+            snap = build(base)
             snap["version"] = (cur + 1) if cur is not None else 0
             snap["parent"] = cur
+            tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as fh:
                 json.dump(snap, fh)
                 fh.flush()
@@ -215,8 +268,43 @@ class LakeTable:
                 os.unlink(tmp)
                 return snap["version"]
             except FileExistsError:
-                continue  # concurrent committer won; re-read and retry
+                os.unlink(tmp)
+                if not rebaseable:
+                    raise ConcurrentCommitError(
+                        f"lost commit race for v{snap['version']} at {self.root}; "
+                        "recompute from the current snapshot"
+                    )
+                continue  # concurrent committer won; rebuild on the winner
         raise RuntimeError("commit retries exhausted")
+
+    _CARRY = ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse", "partition_ts_col")
+
+    def _carry(self, base: dict) -> dict:
+        return {k: base.get(k) for k in self._CARRY}
+
+    def _register_schema(self, base: dict, file_schema: T.StructType) -> tuple[dict, str, str]:
+        """Idempotently register `file_schema` (the exact schema data
+        files were written under) in `base`'s catalog and evolve the
+        current schema to cover it. Returns (schemas, file_sid,
+        current_sid). Re-running against a different base (commit rebase)
+        keeps file→schema mapping correct even if the winner evolved the
+        schema independently — conform-on-read does the rest."""
+        schemas = dict(base["schemas"])
+
+        def _intern(st: T.StructType) -> str:
+            sjson = st.json()
+            for k, v in schemas.items():
+                if v == sjson:
+                    return k
+            sid = str(max(int(k) for k in schemas) + 1)
+            schemas[sid] = sjson
+            return sid
+
+        file_sid = _intern(file_schema)
+        current = T.StructType.fromJson(json.loads(schemas[base["current_schema_id"]]))
+        evolved, changed = evolve_schema(current, file_schema)
+        cur_sid = _intern(evolved) if changed else base["current_schema_id"]
+        return schemas, file_sid, cur_sid
 
     # ------------------------------------------------------------------
     # schema / properties
@@ -226,8 +314,16 @@ class LakeTable:
         snap = snap or self.snapshot()
         return T.StructType.fromJson(json.loads(snap["schemas"][snap["current_schema_id"]]))
 
-    def key_col(self) -> str:
+    def key_col(self):
         return self.snapshot()["key_col"]
+
+    @staticmethod
+    def _key_cols(snap: dict) -> list[str]:
+        """key_col may be one column or a composite key (list) — derived
+        from the Debezium key envelope at table creation (reference
+        DebeziumBigqueryEvent.java:61-70)."""
+        k = snap["key_col"]
+        return [k] if isinstance(k, str) else list(k)
 
     def checkpoint(self) -> dict | None:
         return self.snapshot().get("checkpoint")
@@ -239,25 +335,49 @@ class LakeTable:
         return sum(f["rows"] for files in snap["buckets"].values() for f in files)
 
     def _bucket_expr(self, snap: dict) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(snap["key_col"])), F.lit(snap["num_buckets"]))
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self._key_cols(snap)]), F.lit(snap["num_buckets"])
+        )
 
     # ------------------------------------------------------------------
     # read
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _day_bounds(days) -> tuple[int, int]:
+        """(lo, hi) inclusive day-ordinal bounds from ints or ISO dates."""
+        import datetime as _dt
+
+        def to_ord(v):
+            if isinstance(v, int):
+                return v
+            return (_dt.date.fromisoformat(str(v)) - _dt.date(1970, 1, 1)).days
+
+        lo, hi = days
+        return to_ord(lo), to_ord(hi)
 
     def read(
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        days: tuple | None = None,
     ) -> DataFrame:
         """Current live rows. Delete tombstones are physically retained
         (so replaying *any* stale batch stays a no-op — see merge) and
         filtered here unless include_deleted=True. For merge-on-read
         tables with outstanding deltas, the scan is LWW-collapsed per key
-        first (one hash-aggregate; compact() amortizes it away)."""
+        first (one hash-aggregate; compact() amortizes it away).
+
+        `days=(lo, hi)` (ints or ISO dates, inclusive) prunes the scan to
+        files whose _day partition falls in range — on a time-partitioned
+        table a time-ranged read touches only matching files, the #1
+        read-side pruning lever at 10^10 rows. Note: with outstanding MoR
+        deltas the per-key LWW collapse then sees only in-range versions;
+        run after compact() (or on CoW tables) for exact point-in-range
+        semantics, or filter rows on the ts column for sub-day precision."""
         snap = self.snapshot(version)
-        df = self._read_raw(version, buckets)
+        df = self._read_raw(version, buckets, days)
         if snap.get("needs_collapse"):
             df = self._collapse(df, snap)
         if not include_deleted and "__deleted" in df.columns:
@@ -267,28 +387,52 @@ class LakeTable:
     def _collapse(self, df: DataFrame, snap: dict) -> DataFrame:
         """LWW per key over order_by — groupBy + max(struct), which Spark
         executes with map-side partial aggregation (skew-safe)."""
-        key = snap["key_col"]
+        keys = self._key_cols(snap)
         order = [c for c in snap["order_by"] if c in df.columns]
         if not order:
             return df
         payload = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
         cols = df.columns
         return (
-            df.groupBy(key)
+            df.groupBy(*keys)
             .agg(F.max(F.struct(*[F.col(c) for c in order], payload)).alias("_m"))
             .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
         )
 
-    def _read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def file_entries(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        days: tuple | None = None,
+    ) -> list[dict]:
+        """Manifest entries after bucket/day pruning — what a read scans."""
         snap = self.snapshot(version)
-        current = self.schema(snap)
         wanted = set(map(str, buckets)) if buckets is not None else None
-        by_schema: dict[str, list[str]] = {}
+        bounds = self._day_bounds(days) if days is not None else None
+        out = []
         for b, files in snap["buckets"].items():
             if wanted is not None and b not in wanted:
                 continue
             for f in files:
-                by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+                if bounds is not None:
+                    d = f.get("day")
+                    # files without day metadata can't be pruned; keep them
+                    if d is not None and not (bounds[0] <= d <= bounds[1]):
+                        continue
+                out.append(f)
+        return out
+
+    def _read_raw(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        days: tuple | None = None,
+    ) -> DataFrame:
+        snap = self.snapshot(version)
+        current = self.schema(snap)
+        by_schema: dict[str, list[str]] = {}
+        for f in self.file_entries(version, buckets, days):
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
         if not by_schema:
             return self.spark.createDataFrame([], current)
         parts = []
@@ -312,8 +456,9 @@ class LakeTable:
         rows_hint: int | None = None,
         codec: str | None = None,
     ) -> dict[str, list[dict]]:
-        """Write df bucketed by key into a fresh commit dir; return the
-        per-bucket file manifest with footer row counts."""
+        """Write df bucketed by key (and optionally day-partitioned by
+        the table's partition_ts_col) into a fresh commit dir; return
+        the per-bucket file manifest with row counts."""
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, self.DATA, commit_id)
         # Salt the repartition so the write stage's parallelism tracks the
@@ -330,33 +475,67 @@ class LakeTable:
         if rows_hint is not None:
             max_tasks = max(1, rows_hint // 50_000)
             salt_n = max(1, min(salt_n, -(-max_tasks // n_buckets)))
+        part_cols = ["_bucket"]
+        wdf = df.withColumn("_bucket", self._bucket_expr(snap))
+        ts_col = snap.get("partition_ts_col")
+        if ts_col and ts_col in df.columns:
+            # event-time day partition: days since epoch (Iceberg days());
+            # null timestamps land in day=-1
+            wdf = wdf.withColumn(
+                "_day",
+                F.coalesce(
+                    F.datediff(F.to_date(F.col(ts_col).cast("timestamp")), F.lit("1970-01-01")),
+                    F.lit(-1),
+                ),
+            )
+            part_cols.append("_day")
         writer = (
-            df.withColumn("_bucket", self._bucket_expr(snap))
+            wdf
             # independent hash (seeded) — salt = f(bucket) would split nothing
-            .withColumn("_wsalt", F.pmod(F.xxhash64(F.lit(1), F.col(snap["key_col"])), F.lit(salt_n)))
-            .repartition(max(2 * par, n_buckets), "_bucket", "_wsalt")
+            .withColumn(
+                "_wsalt",
+                F.pmod(
+                    F.xxhash64(F.lit(1), *[F.col(k) for k in self._key_cols(snap)]),
+                    F.lit(salt_n),
+                ),
+            )
+            .repartition(max(2 * par, n_buckets), *part_cols, "_wsalt")
             .drop("_wsalt")
-            .write.partitionBy("_bucket")
+            .write.partitionBy(*part_cols)
             .mode("overwrite")
         )
         if codec:
             writer = writer.option("compression", codec)
         writer.parquet(out_dir)
-        import pyarrow.parquet as pq
 
         manifest: dict[str, list[dict]] = {}
-        if not os.path.isdir(out_dir):
+        if not os.path.isdir(out_dir) or not any(
+            e.startswith("_bucket=") for e in os.listdir(out_dir)
+        ):
             return manifest
-        for entry in sorted(os.listdir(out_dir)):
-            if not entry.startswith("_bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            for fn in sorted(os.listdir(os.path.join(out_dir, entry))):
-                if not fn.endswith(".parquet"):
-                    continue
-                rel = os.path.join(self.DATA, commit_id, entry, fn)
-                rows = pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
-                manifest.setdefault(b, []).append({"path": rel, "rows": rows, "schema_id": schema_id})
+        # Per-file row counts from a DISTRIBUTED metadata scan (projection
+        # is only _metadata.file_path + partition columns, so executors
+        # read footers/row-group counts, never data pages). A driver-side
+        # per-file footer crawl serializes the commit on the driver at
+        # object-storage latencies once a commit has thousands of files.
+        counts = (
+            self.spark.read.parquet(out_dir)
+            .groupBy(F.col("_metadata.file_path").alias("_path"), *part_cols)
+            .count()
+            .collect()
+        )
+        for r in counts:
+            # file_path is a URI: file:/p, file:///p, or scheme://host/p
+            local = r["_path"]
+            if ":" in local.split("/", 1)[0]:
+                local = "/" + local.split(":", 1)[1].lstrip("/")
+            rel = os.path.relpath(local, self.root)
+            entry = {"path": rel, "rows": r["count"], "schema_id": schema_id}
+            if len(part_cols) > 1:
+                entry["day"] = r["_day"]
+            manifest.setdefault(str(r["_bucket"]), []).append(entry)
+        for b in manifest:
+            manifest[b].sort(key=lambda e: e["path"])
         return manifest
 
     def _evolve_for(self, snap: dict, incoming: T.StructType) -> tuple[dict, T.StructType, str]:
@@ -373,6 +552,44 @@ class LakeTable:
             sid = snap["current_schema_id"]
         return schemas, evolved, sid
 
+    def _commit_additive(
+        self,
+        new_files: dict[str, list[dict]],
+        file_schema: T.StructType,
+        checkpoint: dict | None,
+        lineage: list[dict] | None,
+        summary: dict,
+        set_needs_collapse: bool = False,
+    ) -> int:
+        """Commit pure file additions. Rebaseable: on a lost race the
+        additions (and the exact schema the files were written under) are
+        re-applied onto the winner's snapshot — nothing of the winner is
+        dropped, which is what makes e.g. two appenders or an appender
+        racing a compactor safe."""
+
+        def build(base: dict) -> dict:
+            schemas, file_sid, cur_sid = self._register_schema(base, file_schema)
+            buckets = {b: list(files) for b, files in base["buckets"].items()}
+            for b, files in new_files.items():
+                buckets.setdefault(b, []).extend({**f, "schema_id": file_sid} for f in files)
+            return {
+                **self._carry(base),
+                "needs_collapse": bool(base.get("needs_collapse")) or set_needs_collapse,
+                "schemas": schemas,
+                "current_schema_id": cur_sid,
+                "buckets": buckets,
+                "checkpoint": checkpoint if checkpoint is not None else base.get("checkpoint"),
+                "lineage": lineage or [],
+                "summary": summary,
+            }
+
+        return self._commit(build, rebaseable=True)
+
+    def commit_checkpoint(self, checkpoint: dict, lineage: list[dict] | None = None) -> int:
+        """Metadata-only commit advancing the consumer checkpoint (used
+        for windows that touched no data in this table)."""
+        return self._commit_additive({}, self.schema(), checkpoint, lineage, {"operation": "checkpoint-only"})
+
     def append(
         self,
         df: DataFrame,
@@ -382,22 +599,11 @@ class LakeTable:
         """Append-only write (reference W1 semantics: updates/deletes land
         as extra rows — the change ledger mode)."""
         snap = self.snapshot()
-        schemas, evolved, sid = self._evolve_for(snap, df.schema)
+        _, evolved, sid = self._evolve_for(snap, df.schema)
         new_files = self._write_files(conform(df, evolved), snap, sid)
-        buckets = {b: list(files) for b, files in snap["buckets"].items()}
-        for b, files in new_files.items():
-            buckets.setdefault(b, []).extend(files)
         added = sum(f["rows"] for fl in new_files.values() for f in fl)
-        return self._commit(
-            {
-                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-                "schemas": schemas,
-                "current_schema_id": sid,
-                "buckets": buckets,
-                "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
-                "lineage": lineage or [],
-                "summary": {"operation": "append", "added_rows": added},
-            }
+        return self._commit_additive(
+            new_files, evolved, checkpoint, lineage, {"operation": "append", "added_rows": added}
         )
 
     def merge(
@@ -432,7 +638,7 @@ class LakeTable:
         AQE handles residual skew).
         """
         snap = self.snapshot()
-        key = snap["key_col"]
+        keys = self._key_cols(snap)
         order_by = [c for c in snap["order_by"] if c != deleted_col]
 
         batch_logical = T.StructType([f for f in batch.schema.fields if f.name != "_bucket"])
@@ -446,23 +652,16 @@ class LakeTable:
             new_files = self._write_files(
                 conform(batch, evolved), snap, sid, rows_hint=rows_hint, codec="snappy"
             )
-            buckets = {b: list(files) for b, files in snap["buckets"].items()}
-            for b, files in new_files.items():
-                buckets.setdefault(b, []).extend(files)
-            return self._commit(
+            return self._commit_additive(
+                new_files,
+                evolved,
+                checkpoint,
+                lineage,
                 {
-                    **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode")},
-                    "needs_collapse": True,
-                    "schemas": schemas,
-                    "current_schema_id": sid,
-                    "buckets": buckets,
-                    "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
-                    "lineage": lineage or [],
-                    "summary": {
-                        "operation": "merge-mor",
-                        "delta_rows": sum(f["rows"] for fl in new_files.values() for f in fl),
-                    },
-                }
+                    "operation": "merge-mor",
+                    "delta_rows": sum(f["rows"] for fl in new_files.values() for f in fl),
+                },
+                set_needs_collapse=True,
             )
 
         # --- bucket pruning: which buckets does this batch touch? -------
@@ -475,15 +674,19 @@ class LakeTable:
 
         s_order = F.struct(*[F.col(f"_s.{c}") for c in order_by])
         t_order = F.struct(*[F.col(f"_t.{c}") for c in order_by])
-        s_present = F.col(f"_s.{key}").isNotNull()
-        t_present = F.col(f"_t.{key}").isNotNull()
+        s_present = F.col(f"_s.{keys[0]}").isNotNull()
+        t_present = F.col(f"_t.{keys[0]}").isNotNull()
         newer = s_present & (~t_present | (s_order >= t_order))
         keep_s = newer
         keep_t = t_present & ~newer
 
+        on = None
+        for k in keys:
+            cond = F.col(f"_t.{k}") == F.col(f"_s.{k}")
+            on = cond if on is None else (on & cond)
         merged = (
             target.alias("_t")
-            .join(source.alias("_s"), F.col(f"_t.{key}") == F.col(f"_s.{key}"), "full_outer")
+            .join(source.alias("_s"), on, "full_outer")
             .filter(keep_s | keep_t)
             .select(
                 *[
@@ -497,21 +700,22 @@ class LakeTable:
         buckets = {b: list(files) for b, files in snap["buckets"].items() if b not in set(affected)}
         for b, files in new_files.items():
             buckets[b] = files
-        return self._commit(
-            {
-                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-                "schemas": schemas,
-                "current_schema_id": sid,
-                "buckets": buckets,
-                "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
-                "lineage": lineage or [],
-                "summary": {
-                    "operation": "merge",
-                    "affected_buckets": sorted(int(b) for b in affected),
-                    "total_rows": sum(f["rows"] for fl in buckets.values() for f in fl),
-                },
-            }
-        )
+        payload = {
+            **self._carry(snap),
+            "schemas": schemas,
+            "current_schema_id": sid,
+            "buckets": buckets,
+            "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
+            "lineage": lineage or [],
+            "summary": {
+                "operation": "merge",
+                "affected_buckets": sorted(int(b) for b in affected),
+                "total_rows": sum(f["rows"] for fl in buckets.values() for f in fl),
+            },
+        }
+        # CoW rewrites buckets computed from THIS snapshot — a concurrent
+        # commit means lost update, so fail instead of rebasing
+        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
 
     # ------------------------------------------------------------------
     # maintenance
@@ -539,26 +743,31 @@ class LakeTable:
         snap = self.snapshot()
         sid = snap["current_schema_id"]
         new_files = self._write_files(df, snap, sid)
-        return self._commit(
-            {
-                **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode")},
-                "needs_collapse": False,  # a full rewrite always collapses
-                "schemas": snap["schemas"],
-                "current_schema_id": sid,
-                "buckets": new_files,
-                "checkpoint": snap.get("checkpoint"),
-                "lineage": [],
-                "summary": {"operation": operation},
-            }
-        )
+        payload = {
+            **self._carry(snap),
+            "needs_collapse": False,  # a full rewrite always collapses
+            "schemas": snap["schemas"],
+            "current_schema_id": sid,
+            "buckets": new_files,
+            "checkpoint": snap.get("checkpoint"),
+            "lineage": [],
+            "summary": {"operation": operation},
+        }
+        # full rewrite of the base read at `snap` — same lost-update rule
+        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files unreferenced by the last `keep_last`
-        snapshots (orphans from crashes + expired versions)."""
+        snapshots (orphans from crashes + expired versions), and expire
+        the metadata of the vacuumed versions (Iceberg expire_snapshots)
+        — history()/time travel then only resolve retained versions, and
+        read(version=expired) fails with a clear error instead of
+        scanning unlinked paths."""
         cur = self.current_version()
         if cur is None:
             return []
-        keep = range(max(0, cur - keep_last + 1), cur + 1)
+        horizon = max(0, cur - keep_last + 1)
+        keep = [v for v in self.versions() if v >= horizon]
         live: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
@@ -578,4 +787,8 @@ class LakeTable:
             full = os.path.join(data_root, commit_dir)
             if not any(files for _, _, files in os.walk(full)):
                 shutil.rmtree(full, ignore_errors=True)
+        # expire metadata of versions whose files are now gone
+        for v in self.versions():
+            if v < horizon:
+                os.unlink(os.path.join(self._meta_dir(), f"v{v:08d}.json"))
         return removed

@@ -44,7 +44,11 @@ from .pacing import NoBatchSizeWait
 class PipelineConfig:
     log_path: str
     table_root: str
-    key_col: str = "url"
+    # merge key: a column name, a composite-key list, or None to derive
+    # the key per destination from the Debezium KEY envelope's schema
+    # (reference DebeziumBigqueryEvent.java:61-70 — a multi-table log
+    # with different PKs per destination needs this)
+    key_col: str | list | None = "url"
     num_buckets: int = 16
     batch_window: int = 10_000  # offsets per micro-batch window
     batch_events: int | None = None  # if set, event-count-balanced windows
@@ -52,10 +56,15 @@ class PipelineConfig:
     cast_deleted_field: bool = True
     default_ts_ms: int | None = None  # None → wall clock (reference parity)
     metrics_path: str | None = None
-    lineage_per_bucket: bool = True
-    merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge
+    # opt-in diagnostic: per-bucket row counts cost a groupBy+collect per
+    # schema group per micro-batch — keep OFF on the hot path
+    lineage_per_bucket: bool = False
+    merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge (create-time only)
     compact_every: int | None = None  # fold MoR deltas every N batches
     prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
+    # event-time day partitioning of the target table (days(warc_ts)
+    # alongside bucket(url)); None disables
+    partition_ts_col: str | None = "warc_ts"
     # multi-destination routing (reference G1/P5: one target table per
     # topic, name rewritten by regexp). False → single table at
     # table_root; True → table_root/<rewritten destination>.
@@ -104,20 +113,26 @@ class CdcPipeline:
 
         return os.path.join(self.cfg.table_root, _re.sub(r"[^A-Za-z0-9_.\-]", "_", name))
 
-    def _table(self, schema=None, destination: str | None = None) -> LakeTable | None:
+    def _table(self, schema=None, destination: str | None = None, key=None) -> LakeTable | None:
         root = self._root_for(destination)
         if LakeTable.exists(root):
             return LakeTable.load(self.spark, root)
         if schema is None:
             return None
+        if key is None:
+            raise ValueError(
+                f"cannot create table for {destination!r}: key_col unset and the "
+                "events carry no key-envelope schema to derive a primary key from"
+            )
         return LakeTable.create(
             self.spark,
             root,
             schema=schema,
-            key_col=self.cfg.key_col,
+            key_col=key,
             num_buckets=self.cfg.num_buckets,
             order_by=self.cfg.order_by,
             merge_mode=self.cfg.merge_mode,
+            partition_ts_col=self.cfg.partition_ts_col,
         )
 
     def _all_tables(self) -> list[LakeTable]:
@@ -209,9 +224,14 @@ class CdcPipeline:
         n_events = 0
         group_records = []
 
-        # the LAST group per destination carries the window checkpoint —
-        # per-destination commits are independent; resume uses the min
-        last_group_idx = {g.destination: i for i, g in enumerate(groups)}
+        # the LAST group per resolved TABLE ROOT carries the window
+        # checkpoint — keying by destination breaks single-table mode
+        # (multiple destinations share one root; an early destination's
+        # checkpointed merge + a crash before the later ones would skip
+        # their events forever on resume). Per-table commits are
+        # independent; resume uses the min across tables.
+        roots = [self._root_for(g.destination) for g in groups]
+        last_group_idx = {root: i for i, root in enumerate(roots)}
 
         for gi, g in enumerate(groups):
             df = normalize_batch(
@@ -220,23 +240,38 @@ class CdcPipeline:
                 cast_deleted_field=self.cfg.cast_deleted_field,
             )
             df = to_page_row(df)
-            if self.cfg.merge_mode == "mor" and not self.cfg.prededup:
+            # merge key: explicit config, else derived per destination
+            # from the Debezium key envelope (composite PKs supported)
+            key = self.cfg.key_col if self.cfg.key_col is not None else g.key_fields
+            table = self._table(schema=df.schema, destination=g.destination, key=key)
+            table_snap = table.snapshot()
+            # dispatch on the TABLE's persisted merge_mode and key, not
+            # the config: resuming a cow table with a mor config would
+            # skip the pre-merge LWW the CoW full-outer merge relies on
+            # (duplicate key rows would land); cfg.merge_mode/key_col
+            # only matter at table creation
+            table_key = table_snap["key_col"]
+            table_mode = table_snap.get("merge_mode")
+            if table_mode == "mor" and not self.cfg.prededup:
                 # MoR read-collapse already implements LWW per key over
                 # base+delta; a pre-merge dedup shuffle would be pure
                 # overhead (it only shrinks the delta a hot batch writes)
                 deduped = df
             else:
-                deduped = lww_agg(df, key=self.cfg.key_col, order_by=self.cfg.order_by)
+                deduped = lww_agg(df, key=table_key, order_by=self.cfg.order_by)
 
-            table = self._table(schema=deduped.schema, destination=g.destination)
-            is_last = gi == last_group_idx[g.destination]
+            is_last = gi == last_group_idx[roots[gi]]
 
             bucket_counts = None
             if self.cfg.lineage_per_bucket:
+                key_cols = [table_key] if isinstance(table_key, str) else list(table_key)
                 bucket_counts = {
                     str(r[0]): r[1]
                     for r in deduped.groupBy(
-                        F.pmod(F.xxhash64(self.cfg.key_col), F.lit(self.cfg.num_buckets)).alias("b")
+                        F.pmod(
+                            F.xxhash64(*[F.col(k) for k in key_cols]),
+                            F.lit(table_snap["num_buckets"]),
+                        ).alias("b")
                     )
                     .count()
                     .collect()
@@ -259,22 +294,11 @@ class CdcPipeline:
         # destinations with no events this window (or empty window):
         # advance their checkpoint with a metadata-only commit so the
         # min-resume rule doesn't stall on them
-        touched = {self._root_for(g.destination) for g in groups}
+        touched = set(roots)
         for table in self._all_tables():
             if table.root in touched:
                 continue
-            snap = table.snapshot()
-            table._commit(
-                {
-                    **{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-                    "schemas": snap["schemas"],
-                    "current_schema_id": snap["current_schema_id"],
-                    "buckets": snap["buckets"],
-                    "checkpoint": checkpoint,
-                    "lineage": [],
-                    "summary": {"operation": "checkpoint-only"},
-                }
-            )
+            table.commit_checkpoint(checkpoint)
 
         unpersist_batch(groups)
         return {

@@ -42,6 +42,17 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--batch-window", type=int, default=1_000_000)
     r.add_argument("--batch-events", type=int, default=None, help="event-count-balanced windows")
     r.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    r.add_argument(
+        "--key",
+        default="url",
+        help="merge key: column, comma-separated composite, or 'auto' to derive "
+        "per destination from the Debezium key envelope",
+    )
+    r.add_argument(
+        "--partition-ts",
+        default="warc_ts",
+        help="event-time day-partition column for the target table ('' disables)",
+    )
     r.add_argument("--compact-every", type=int, default=None)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
@@ -90,16 +101,23 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 wait = wait_cls()
+            if args.key == "auto":
+                key = None  # derive per destination from the key envelope
+            elif "," in args.key:
+                key = [k.strip() for k in args.key.split(",")]
+            else:
+                key = args.key
             cfg = PipelineConfig(
                 log_path=args.log,
                 table_root=args.table,
+                key_col=key,
                 batch_window=args.batch_window,
                 batch_events=args.batch_events,
                 num_buckets=args.buckets,
                 metrics_path=args.metrics,
                 merge_mode=args.merge_mode,
                 compact_every=args.compact_every,
-                lineage_per_bucket=False,
+                partition_ts_col=args.partition_ts or None,
             )
             stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)
             print(

@@ -38,7 +38,9 @@ def _cfg(log_path, root, **kw):
 def replayed(spark, log_path, tmp_path_factory):
     """One full replay — shared by the assertion tests below."""
     root = str(tmp_path_factory.mktemp("cdc") / "pages")
-    stats = CdcPipeline(spark, _cfg(log_path, root)).run()
+    # lineage_per_bucket is an opt-in diagnostic (default off on the hot
+    # path) — enabled here so its output shape stays covered
+    stats = CdcPipeline(spark, _cfg(log_path, root, lineage_per_bucket=True)).run()
     return root, stats
 
 
@@ -163,13 +165,9 @@ def test_exactly_once_suffix_replay(spark, log_path, replayed):
     root, _ = replayed
     t = LakeTable.load(spark, root)
     before = spark_final_state(spark, root)
-    snap = t.snapshot()
-    ck = dict(snap["checkpoint"])
+    ck = dict(t.snapshot()["checkpoint"])
     ck["offset_hi"] = max(ck["offset_hi"] - 800, 0)  # rewind two windows
-    t._commit({**{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-               "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
-               "buckets": snap["buckets"], "checkpoint": ck, "lineage": [],
-               "summary": {"operation": "test-rewind"}})
+    t.commit_checkpoint(ck)
     CdcPipeline(spark, _cfg(log_path, root)).run()
     assert spark_final_state(spark, root) == before
 
@@ -239,3 +237,124 @@ def test_lineage_emitted(spark, log_path, replayed):
     assert rec["groups"][0]["bucket_rows"]
     snap_lineage = [s.get("lineage") for s in LakeTable.load(spark, root).history()]
     assert any(lin for lin in snap_lineage if lin)
+
+
+def _mk_flat_log(spark, path, rows):
+    import json as _json
+
+    def ev(offset, dest, op, key, lsn, val):
+        payload = {"url": key, "text": val, "__op": op, "__lsn": lsn,
+                   "__source_ts_ms": 1704067200000 + lsn,
+                   "__deleted": "true" if op == "d" else "false"}
+        schema = {"type": "struct", "fields": [
+            {"type": "string", "field": "url", "optional": False},
+            {"type": "string", "field": "text", "optional": True},
+            {"type": "string", "field": "__op", "optional": True},
+            {"type": "int64", "field": "__lsn", "optional": True},
+            {"type": "int64", "field": "__source_ts_ms", "optional": True},
+            {"type": "string", "field": "__deleted", "optional": True}]}
+        return (offset, dest, None, _json.dumps({"schema": schema, "payload": payload}))
+
+    spark.createDataFrame(
+        [ev(*r) for r in rows], "offset long, destination string, key string, value string"
+    ).write.parquet(path)
+
+
+def test_single_table_checkpoint_rides_globally_last_group(spark, tmp_path):
+    """Single-table mode + multi-destination log: the window checkpoint
+    may ride ONLY the last group's commit for the shared table root. If
+    an earlier destination's group carried it, a crash before the later
+    groups would advance the checkpoint past their (unmerged) events and
+    resume would skip them forever."""
+    log = str(tmp_path / "log")
+    _mk_flat_log(spark, log, [
+        (0, "testc.db.aaa", "c", "a1", 0, "va"),
+        (1, "testc.db.zzz", "c", "z1", 1, "vz"),
+        (2, "testc.db.aaa", "u", "a1", 2, "va2"),
+        (3, "testc.db.zzz", "u", "z1", 3, "vz2"),
+    ])
+    root = str(tmp_path / "shared")
+    cfg = PipelineConfig(log_path=log, table_root=root, batch_window=100, num_buckets=2)
+    CdcPipeline(spark, cfg).run()  # one window, two destination groups
+    table = LakeTable.load(spark, root)
+    merges = [s for s in table.history() if s["summary"]["operation"].startswith("merge")]
+    assert len(merges) == 2  # one commit per destination group
+    assert merges[0].get("checkpoint") is None  # first group: NO checkpoint
+    assert merges[-1]["checkpoint"]["offset_hi"] == 3  # only the last carries it
+    assert {r["url"]: r["text"] for r in table.read().collect()} == {"a1": "va2", "z1": "vz2"}
+
+
+def test_resume_respects_table_merge_mode(spark, tmp_path):
+    """The pre-merge dedup decision must follow the TABLE's persisted
+    merge_mode, not the session config: resuming a CoW table under a MoR
+    config would feed multi-row-per-key batches into the CoW full-outer
+    merge and land duplicate key rows."""
+    log = str(tmp_path / "log")
+    _mk_flat_log(spark, log, [
+        (0, "testc.db.p", "c", "k1", 0, "v0"),
+        # second window: THREE versions of the same key in one batch
+        (10, "testc.db.p", "u", "k1", 10, "v1"),
+        (11, "testc.db.p", "u", "k1", 11, "v2"),
+        (12, "testc.db.p", "u", "k1", 12, "v3"),
+    ])
+    root = str(tmp_path / "t")
+    cow_cfg = PipelineConfig(log_path=log, table_root=root, batch_window=5, num_buckets=2,
+                             merge_mode="cow")
+    CdcPipeline(spark, cow_cfg).run(max_batches=1)  # creates the table as CoW
+    assert LakeTable.load(spark, root).snapshot()["merge_mode"] == "cow"
+    # resume with a MISMATCHED config claiming mor
+    mor_cfg = PipelineConfig(log_path=log, table_root=root, batch_window=5, num_buckets=2,
+                             merge_mode="mor")
+    CdcPipeline(spark, mor_cfg).run()
+    table = LakeTable.load(spark, root)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v3"  # ≤1 row per key, LWW winner
+
+
+def test_key_envelope_derives_per_destination_pk(spark, tmp_path):
+    """key_col=None: the merge key comes from each destination's Debezium
+    KEY envelope schema (reference DebeziumBigqueryEvent.java:61-70) —
+    one destination keyed by uid, another by a COMPOSITE (order_id,
+    line_no) key. A single static key_col cannot key both correctly."""
+    import json as _json
+
+    def ev(offset, dest, keyvals: dict, extra: dict, lsn):
+        key_schema = {"type": "struct",
+                      "fields": [{"type": "string", "field": k, "optional": False} for k in keyvals]}
+        payload = {**keyvals, **extra, "__op": "c", "__lsn": lsn,
+                   "__source_ts_ms": 1704067200000 + lsn, "__deleted": "false"}
+        val_schema = {"type": "struct", "fields": (
+            [{"type": "string", "field": k, "optional": False} for k in keyvals]
+            + [{"type": "string", "field": k, "optional": True} for k in extra]
+            + [{"type": "string", "field": "__op", "optional": True},
+               {"type": "int64", "field": "__lsn", "optional": True},
+               {"type": "int64", "field": "__source_ts_ms", "optional": True},
+               {"type": "string", "field": "__deleted", "optional": True}])}
+        return (offset, dest,
+                _json.dumps({"schema": key_schema, "payload": keyvals}),
+                _json.dumps({"schema": val_schema, "payload": payload}))
+
+    rows = [
+        ev(0, "db.users", {"uid": "u1"}, {"name": "a"}, 0),
+        ev(1, "db.users", {"uid": "u1"}, {"name": "b"}, 1),       # LWW update
+        ev(2, "db.lineitems", {"order_id": "o1", "line_no": "1"}, {"qty": "5"}, 2),
+        ev(3, "db.lineitems", {"order_id": "o1", "line_no": "2"}, {"qty": "7"}, 3),
+        ev(4, "db.lineitems", {"order_id": "o1", "line_no": "1"}, {"qty": "9"}, 4),  # update line 1
+    ]
+    log = str(tmp_path / "log")
+    spark.createDataFrame(rows, "offset long, destination string, key string, value string") \
+        .write.parquet(log)
+    cfg = PipelineConfig(
+        log_path=log, table_root=str(tmp_path / "tables"), batch_window=100,
+        num_buckets=2, key_col=None, table_per_destination=True,
+        destination_regexp=r"^db\.", destination_replacement="",
+    )
+    CdcPipeline(spark, cfg).run()
+    users = LakeTable.load(spark, str(tmp_path / "tables" / "users"))
+    items = LakeTable.load(spark, str(tmp_path / "tables" / "lineitems"))
+    assert users.snapshot()["key_col"] == ["uid"]
+    assert items.snapshot()["key_col"] == ["order_id", "line_no"]
+    assert {r["uid"]: r["name"] for r in users.read().collect()} == {"u1": "b"}
+    got = {(r["order_id"], r["line_no"]): r["qty"] for r in items.read().collect()}
+    # composite key keeps both lines; line 1 took the LWW update
+    assert got == {("o1", "1"): "9", ("o1", "2"): "7"}

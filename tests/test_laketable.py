@@ -161,18 +161,103 @@ def test_compact_and_vacuum(spark, table):
     assert sorted(tuple(r) for r in table.read().collect()) == rows_before
 
 
-def test_commit_race_retries(spark, table):
-    # simulate a concurrent committer claiming the next version first
+def test_additive_commit_rebases_onto_winner(spark, table):
+    """Losing an additive commit race must RE-APPLY the additions onto
+    the winner's snapshot — never re-link the stale payload (which would
+    erase the winner's files: lost update)."""
+    import json as _json
+
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    raced = {"done": False}
+    my_files = {"0": [{"path": "data/mine/f.parquet", "rows": 1, "schema_id": "0"}]}
+
+    orig_build_calls = []
+
+    def racing_append():
+        # use the real additive builder, but have a winner claim the next
+        # version between our first build and the link attempt
+        def spy_commit(build, rebaseable, expected_base=None, retries=20):
+            def wrapped(base):
+                orig_build_calls.append(base["version"])
+                if not raced["done"]:
+                    raced["done"] = True
+                    winner = dict(base)
+                    winner["version"] = base["version"] + 1
+                    winner["parent"] = base["version"]
+                    winner["buckets"] = {
+                        **base["buckets"],
+                        "1": base["buckets"].get("1", [])
+                        + [{"path": "data/winner/w.parquet", "rows": 5, "schema_id": "0"}],
+                    }
+                    winner["summary"] = {"operation": "winner"}
+                    with open(os.path.join(table._meta_dir(), f"v{winner['version']:08d}.json"), "w") as fh:
+                        _json.dump(winner, fh)
+                return build(base)
+
+            return LakeTable._commit(table, wrapped, rebaseable, expected_base, retries)
+
+        table._commit = spy_commit
+        try:
+            return table._commit_additive(my_files, table.schema(), None, None, {"operation": "mine"})
+        finally:
+            del table._commit
+
+    v = racing_append()
     snap = table.snapshot()
-    nxt = table.current_version() + 1
-    path = os.path.join(table._meta_dir(), f"v{nxt:08d}.json")
-    with open(path, "w") as fh:
-        fh.write("{}")
-    v = table._commit({**{k: snap.get(k) for k in ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse")},
-                       "schemas": snap["schemas"], "current_schema_id": snap["current_schema_id"],
-                       "buckets": snap["buckets"], "checkpoint": None, "lineage": [],
-                       "summary": {"operation": "noop"}})
-    assert v == nxt + 1  # lost the race for nxt, won nxt+1
+    assert snap["version"] == v and len(orig_build_calls) == 2  # rebuilt after the race
+    all_paths = {f["path"] for fl in snap["buckets"].values() for f in fl}
+    assert "data/winner/w.parquet" in all_paths  # winner's file survived
+    assert "data/mine/f.parquet" in all_paths  # our addition re-applied
+
+
+def test_rewrite_conflict_raises_not_lost_update(spark, table):
+    from debezium_server_batch_spark.plans.laketable import ConcurrentCommitError
+
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    stale = table.snapshot()
+    table.append(_batch(spark, [("z", "t", 9, False)]))  # table advances
+    payload = {k: stale.get(k) for k in LakeTable._CARRY}
+    payload.update(schemas=stale["schemas"], current_schema_id=stale["current_schema_id"],
+                   buckets={}, checkpoint=None, lineage=[], summary={"operation": "stale-rewrite"})
+    with pytest.raises(ConcurrentCommitError):
+        table._commit(lambda base: dict(payload), rebaseable=False, expected_base=stale["version"])
+    # the winner's data is intact
+    assert "z" in {r["url"] for r in table.read().collect()}
+
+
+def test_vacuum_expires_metadata_and_rejects_expired_reads(spark, table):
+    for i in range(3):
+        table.merge(_batch(spark, [("a", f"t{i}", i + 1, False)]))
+    old_versions = table.versions()[:-1]
+    table.vacuum(keep_last=1)
+    assert table.versions() == [table.current_version()]
+    assert [s["version"] for s in table.history()] == [table.current_version()]
+    with pytest.raises(FileNotFoundError, match="expired"):
+        table.read(version=old_versions[-1])
+    assert table.read().first()["text"] == "t2"
+
+
+def test_time_partition_prunes_files(spark, tmp_path):
+    schema = T.StructType(SCHEMA.fields + [T.StructField("warc_ts", T.TimestampType(), True)])
+    t = LakeTable.create(
+        spark, str(tmp_path / "tp"), schema, key_col="url", num_buckets=2,
+        order_by=("__lsn",), partition_ts_col="warc_ts",
+    )
+    import datetime as dt
+
+    rows = [
+        (f"u{i}", "t", i, False, dt.datetime(2024, 1, 1 + (i % 3), 12, 0, 0))
+        for i in range(30)
+    ]
+    t.merge(spark.createDataFrame(rows, schema))
+    all_files = t.file_entries()
+    assert all(f.get("day") is not None for f in all_files)
+    one_day = t.file_entries(days=("2024-01-02", "2024-01-02"))
+    assert 0 < len(one_day) < len(all_files)  # real pruning, not all files
+    got = t.read(days=("2024-01-02", "2024-01-02")).collect()
+    assert {r["url"] for r in got} == {f"u{i}" for i in range(30) if i % 3 == 1}
+    # day filter also prunes the physical scan's input files
+    assert len(t.read(days=("2024-01-02", "2024-01-02")).inputFiles()) == len(one_day)
 
 
 def test_mor_merge_append_collapse_compact(spark, tmp_path):
