@@ -59,6 +59,10 @@ class PipelineConfig:
     # opt-in diagnostic: per-bucket row counts cost a groupBy+collect per
     # schema group per micro-batch — keep OFF on the hot path
     lineage_per_bucket: bool = False
+    # opt-in: ms-behind-source per batch (reference DebeziumMetrics.java:
+    # 60-109 lag gauge) — wall clock minus the window's max
+    # __source_ts_ms; costs one extra aggregate scan per window
+    track_lag: bool = False
     merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge (create-time only)
     compact_every: int | None = None  # fold MoR deltas every N batches
     prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
@@ -72,6 +76,18 @@ class PipelineConfig:
     destination_regexp: str | None = None
     destination_replacement: str = ""
     destination_prefix: str = ""
+    # event-log source format: 'parquet' or 'json' (jsonlines, the
+    # reference's spooled-batch shape — SURVEY.md S6)
+    log_format: str = "parquet"
+    # sink selection: 'laketable' (MERGE upsert, exactly-once — the
+    # north-rule engine) or 'files' (reference W1 parity: append-only
+    # df.write.mode(save_mode).format(save_format).save(path) per
+    # destination, at-least-once)
+    sink: str = "laketable"
+    save_format: str = "parquet"
+    save_mode: str = "append"
+    objectkey_partition: bool = False  # wall-clock dt= path partition (P6 parity)
+    partition_tz: str = "UTC"
 
 
 @dataclass
@@ -91,10 +107,24 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, config: PipelineConfig, batch_size_wait=None):
         self.spark = spark
         self.cfg = config
-        self.source = EventLogSource(spark, config.log_path)
+        self.source = EventLogSource(spark, config.log_path, format=config.log_format)
         self.wait = batch_size_wait or NoBatchSizeWait()
         self.metrics = MetricsLog(config.metrics_path)
         self.progress = ProgressLogger()
+        self.file_sink = None
+        if config.sink == "files":
+            from ..plans.file_sink import FileSink
+
+            self.file_sink = FileSink(
+                spark,
+                config.table_root,
+                save_format=config.save_format,
+                save_mode=config.save_mode,
+                objectkey_partition=config.objectkey_partition,
+                partition_tz=config.partition_tz,
+            )
+        elif config.sink != "laketable":
+            raise ValueError(f"sink must be laketable|files, got {config.sink!r}")
 
     # ------------------------------------------------------------------
 
@@ -153,6 +183,9 @@ class CdcPipeline:
         tables' checkpoints: a crash between per-table commits leaves
         laggards, and replaying from the minimum is safe because every
         merge is idempotent."""
+        if self.file_sink is not None:
+            c = self.file_sink.checkpoint()
+            return c["offset_hi"] if c else -1
         ckpts = [t.checkpoint() for t in self._all_tables()]
         if not ckpts:
             return -1
@@ -167,7 +200,11 @@ class CdcPipeline:
         last = self.checkpointed_offset()
         max_offset = self.source.max_offset()
         batch_id = 0
-        ckpts = [t.checkpoint() for t in self._all_tables() if t.checkpoint()]
+        if self.file_sink is not None:
+            c = self.file_sink.checkpoint()
+            ckpts = [c] if c else []
+        else:
+            ckpts = [t.checkpoint() for t in self._all_tables() if t.checkpoint()]
         if ckpts:
             batch_id = min(c["batch_id"] for c in ckpts) + 1
 
@@ -210,6 +247,50 @@ class CdcPipeline:
         raw = self.source.read_slice(lo, hi)
         return self.process_batch(raw, batch_id, lo, hi)
 
+    def _process_file_sink(self, groups, checkpoint: dict, t0: float) -> dict:
+        """Reference W1 upload loop: per (destination, schema) group in
+        offset order, append to the destination path under save_format/
+        save_mode. At-least-once: the offset checkpoint lands AFTER the
+        window's writes (reference markBatchFinished, W9) — crash in
+        between re-delivers the window as duplicate ledger rows."""
+        from ..operators.envelope import rewrite_destination
+
+        n_events = 0
+        group_records = []
+        for g in groups:
+            df = normalize_batch(
+                g.df,
+                default_ts_ms=self.cfg.default_ts_ms,
+                cast_deleted_field=self.cfg.cast_deleted_field,
+            )
+            df = to_page_row(df)
+            name = rewrite_destination(
+                g.destination,
+                self.cfg.destination_regexp,
+                self.cfg.destination_replacement,
+                self.cfg.destination_prefix,
+            )
+            path = self.file_sink.write(df, name)
+            n_events += g.row_count_hint
+            group_records.append(
+                {
+                    "destination": g.destination,
+                    "schema_hash": g.schema_hash,
+                    "group_events": g.row_count_hint,
+                    "path": path,
+                }
+            )
+        self.file_sink.commit_checkpoint(checkpoint)
+        unpersist_batch(groups)
+        return {
+            **checkpoint,
+            "n_events": n_events,
+            "n_schema_groups": len(groups),
+            "groups": group_records,
+            "merged_rows": n_events,
+            "duration_s": round(time.monotonic() - t0, 3),
+        }
+
     def process_batch(self, raw, batch_id: int, lo: int = -1, hi: int = -1) -> dict:
         """Apply one raw micro-batch DataFrame (offset, destination, key,
         value) end-to-end. Shared by the offset-window replay loop and
@@ -219,10 +300,25 @@ class CdcPipeline:
         # ~20s/batch in columnar cache compression of the raw JSON
         # strings to save a ~1s re-scan (profiled in
         # tools/profile_replay.py) — Parquet re-scan + pushdown wins.
+        lag_ms = None
+        if self.cfg.track_lag:
+            row = raw.agg(
+                F.max(F.get_json_object(F.col("value"), "$.payload.__source_ts_ms").cast("long"))
+            ).first()
+            if row[0] is not None:
+                lag_ms = max(int(time.time() * 1000) - row[0], 0)
+
         groups = parse_envelope_batch(raw, persist=False)
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
+        if lag_ms is not None:
+            checkpoint_rec_extra = {"ms_behind_source": lag_ms}
+        else:
+            checkpoint_rec_extra = {}
         n_events = 0
         group_records = []
+
+        if self.file_sink is not None:
+            return {**self._process_file_sink(groups, checkpoint, t0), **checkpoint_rec_extra}
 
         # the LAST group per resolved TABLE ROOT carries the window
         # checkpoint — keying by destination breaks single-table mode
@@ -303,6 +399,7 @@ class CdcPipeline:
         unpersist_batch(groups)
         return {
             **checkpoint,
+            **checkpoint_rec_extra,
             "n_events": n_events,
             "n_schema_groups": len(groups),
             "groups": group_records,

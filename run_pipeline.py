@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
     r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
+    r.add_argument("--log-format", default="parquet", choices=["parquet", "json"],
+                   help="event-log source format (json = jsonlines spool, S6)")
+    r.add_argument("--sink", default="laketable", choices=["laketable", "files"],
+                   help="files = reference W1 parity: append-only save per destination")
+    r.add_argument("--save-format", default="parquet", help="files sink: any Spark format")
+    r.add_argument("--save-mode", default="append", help="files sink: save mode")
+    r.add_argument("--objectkey-partition", action="store_true",
+                   help="files sink: wall-clock dt= path partition (reference P6)")
+    r.add_argument("--partition-tz", default="UTC")
+    r.add_argument("--track-lag", action="store_true", help="emit ms-behind-source per batch")
     r.add_argument("--wait-strategy", default="NoBatchSizeWait")
     r.add_argument("--max-batch-size", type=int, default=2048)
     r.add_argument("--max-wait-ms", type=int, default=300_000)
@@ -118,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
                 merge_mode=args.merge_mode,
                 compact_every=args.compact_every,
                 partition_ts_col=args.partition_ts or None,
+                log_format=args.log_format,
+                sink=args.sink,
+                save_format=args.save_format,
+                save_mode=args.save_mode,
+                objectkey_partition=args.objectkey_partition,
+                partition_tz=args.partition_tz,
+                track_lag=args.track_lag,
             )
             stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)
             print(
