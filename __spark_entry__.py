@@ -295,7 +295,7 @@ def q_cdc_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(workdir, "ledger"),
             schema=ev.schema,
             key_col="event_id",
-            num_buckets=8,
+            num_buckets=4,
             order_by=("event_id",),
             partition_ts_col="ts",
         )

@@ -35,8 +35,12 @@ def force_evaluate(df) -> int:
     projections, so map-only queries (token_stats, lang_id, ...) would be
     under-measured; hashing every output column defeats the pruning while
     collecting only 8 bytes."""
-    row = df.select(F.xxhash64(*df.columns).alias("h")).agg(F.sum("h").alias("s")).first()
-    return row["s"] or 0
+    row = (
+        df.select(F.xxhash64(*df.columns).cast("decimal(38,0)").alias("h"))
+        .agg(F.sum("h").alias("s"))
+        .first()
+    )
+    return int(row["s"] or 0)
 
 
 def run_replay(spark, sf_dir: str, workdir: str) -> dict:

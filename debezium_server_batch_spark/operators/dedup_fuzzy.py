@@ -401,24 +401,60 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    candidate_margin: float = 1e-6,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold — the embedding near-dup
-    exactness baseline and SQL-oracle anchor (built-in fold math is
-    bit-identical to DuckDB's list_dot_product over the same doubles).
-    Deliberately quadratic: use it to verify, not to scale — the
-    production path is embedding_near_dupes (sign-LSH buckets) below,
-    whose candidates this function's math then verifies exactly."""
+    exactness baseline and SQL-oracle anchor.
+
+    Two-phase plan instead of a naive O(n²) expression join:
+      1. candidates — a broadcast block-matrix pass: every Arrow batch
+         multiplies its (rows × dim) block against the broadcast
+         normalized matrix (numpy GEMM), emitting pairs above
+         threshold − margin. Distributed over rows, ~100× the
+         per-element cost of a JVM fold join.
+      2. verify — only the few surviving pairs get the built-in
+         sequential-fold cosine (bit-identical to DuckDB's
+         list_dot_product math) and the exact threshold filter, so the
+         output values and the boundary decision match the SQL oracle
+         exactly, not just numpy-approximately.
+    The broadcast matrix caps this baseline at driver-memory scale
+    (~10^7 vectors); beyond that use embedding_near_dupes (sign-LSH)."""
+    import numpy as np
+
     from ..functions.vectors import cosine
 
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    m = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mn)
+    cut = threshold - candidate_margin
+
+    def gen_pairs(batches):
+        for pdf in batches:
+            ids_all, mat = b_ids.value, b_mat.value
+            block = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ mat.T  # (batch, n)
+            bids = pdf["id"].to_numpy()
+            ii, jj = np.nonzero(sims >= cut)
+            a = bids[ii]
+            b = ids_all[jj]
+            keep = a < b
+            out = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            yield out
+
+    cand = df.sparkSession.createDataFrame([], "id_a long, id_b long") if not rows else (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(gen_pairs, "id_a long, id_b long")
+    )
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a, b = e.alias("a"), e.alias("b")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
+        cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -110,6 +110,7 @@ def parse_envelope_batch(
     extra_cols: tuple[str, ...] = (OFFSET,),
     infer_samples: int = 100,
     persist: bool = False,
+    extract_key_schema: bool = False,
 ) -> list[SchemaGroup]:
     """Parse a raw micro-batch into typed per-(destination, schema)
     groups, ordered by (destination, min offset) so that schema changes
@@ -126,18 +127,23 @@ def parse_envelope_batch(
     if persist:
         ev = ev.persist()
 
-    groups_meta = (
-        ev.groupBy(DESTINATION, "schema_hash")
-        .agg(
-            F.first("schema_str", ignorenulls=True).alias("schema_str"),
-            # key schema: one JSON pointer over the (small) key string,
-            # aggregated away — the per-destination PK definition
-            F.first(F.get_json_object(F.col(KEY), "$.schema"), ignorenulls=True).alias("key_schema_str"),
-            F.min(OFFSET).alias("min_offset"),
-            F.count(F.lit(1)).alias("n"),
+    aggs = [
+        F.first("schema_str", ignorenulls=True).alias("schema_str"),
+        F.min(OFFSET).alias("min_offset"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if extract_key_schema:
+        # key schema (the per-destination PK definition): one extra JSON
+        # pointer PER ROW before the aggregate — only evaluated when the
+        # caller actually derives keys from the envelope (key_col=None)
+        aggs.insert(
+            1,
+            F.first(F.get_json_object(F.col(KEY), "$.schema"), ignorenulls=True).alias(
+                "key_schema_str"
+            ),
         )
-        .orderBy(DESTINATION, "min_offset")
-        .collect()
+    groups_meta = (
+        ev.groupBy(DESTINATION, "schema_hash").agg(*aggs).orderBy(DESTINATION, "min_offset").collect()
     )
 
     out: list[SchemaGroup] = []
@@ -168,7 +174,7 @@ def parse_envelope_batch(
                 row_count_hint=row["n"],
                 struct=struct,
                 df=typed,
-                key_fields=parse_key_fields(row["key_schema_str"]),
+                key_fields=parse_key_fields(row["key_schema_str"]) if extract_key_schema else None,
                 _source=ev if persist else None,
             )
         )

@@ -131,6 +131,7 @@ class LakeTable:
         order_by: tuple[str, ...] = ("__lsn",),
         merge_mode: str = "cow",
         partition_ts_col: str | None = None,
+        delta_layout: str = "unbucketed",
     ) -> "LakeTable":
         """merge_mode:
           * "cow" — copy-on-write: merge joins and rewrites affected
@@ -148,9 +149,23 @@ class LakeTable:
         BatchSparkChangeConsumer.java:130-135, but on EVENT time):
         files land under _bucket=N/_day=D and time-ranged reads
         (read(days=...)) scan only matching files.
+
+        delta_layout (merge-on-read tables only):
+          * "unbucketed" — MoR delta writes are MAP-ONLY: no repartition
+            shuffle, no partitionBy; one transient file per upstream
+            task (Hudi-style unsorted log files). The ingest hot path is
+            scan → parse → write with zero shuffles; compact() folds the
+            deltas into the bucketed/day layout. Reads scan all
+            outstanding deltas until compaction (bounded by
+            compact_every).
+          * "bucketed" — deltas shuffle into the bucket/day layout at
+            write time: pre-compaction reads prune, ingest pays the
+            shuffle.
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
+        if delta_layout not in ("unbucketed", "bucketed"):
+            raise ValueError(f"delta_layout must be unbucketed|bucketed, got {delta_layout!r}")
         t = cls(spark, root)
         os.makedirs(os.path.join(root, cls.META), exist_ok=True)
         os.makedirs(os.path.join(root, cls.DATA), exist_ok=True)
@@ -163,6 +178,7 @@ class LakeTable:
             "order_by": list(order_by),
             "merge_mode": merge_mode,
             "partition_ts_col": partition_ts_col,
+            "delta_layout": delta_layout,
             "needs_collapse": False,
             "schemas": {"0": schema.json()},
             "current_schema_id": "0",
@@ -277,7 +293,15 @@ class LakeTable:
                 continue  # concurrent committer won; rebuild on the winner
         raise RuntimeError("commit retries exhausted")
 
-    _CARRY = ("key_col", "num_buckets", "order_by", "merge_mode", "needs_collapse", "partition_ts_col")
+    _CARRY = (
+        "key_col",
+        "num_buckets",
+        "order_by",
+        "merge_mode",
+        "needs_collapse",
+        "partition_ts_col",
+        "delta_layout",
+    )
 
     def _carry(self, base: dict) -> dict:
         return {k: base.get(k) for k in self._CARRY}
@@ -378,6 +402,11 @@ class LakeTable:
         semantics, or filter rows on the ts column for sub-day precision."""
         snap = self.snapshot(version)
         df = self._read_raw(version, buckets, days)
+        if buckets is not None and "*" in snap["buckets"]:
+            # unbucketed deltas carry rows of EVERY bucket — re-apply the
+            # bucket restriction at row level so read(buckets=...) keeps
+            # its "only these buckets' keys" contract
+            df = df.filter(self._bucket_expr(snap).isin([int(b) for b in buckets]))
         if snap.get("needs_collapse"):
             df = self._collapse(df, snap)
         if not include_deleted and "__deleted" in df.columns:
@@ -411,7 +440,9 @@ class LakeTable:
         bounds = self._day_bounds(days) if days is not None else None
         out = []
         for b, files in snap["buckets"].items():
-            if wanted is not None and b not in wanted:
+            # "*" = unbucketed delta files: relevant to every bucket
+            # until compaction folds them into the layout
+            if wanted is not None and b != "*" and b not in wanted:
                 continue
             for f in files:
                 if bounds is not None:
@@ -538,6 +569,39 @@ class LakeTable:
             manifest[b].sort(key=lambda e: e["path"])
         return manifest
 
+    def _write_delta_files(self, df: DataFrame, schema_id: str, codec: str = "snappy") -> dict:
+        """MAP-ONLY delta write (unbucketed MoR layout): no repartition,
+        no partitionBy — the ingest pipeline stays shuffle-free end to
+        end (scan → parse → write), one transient file per upstream
+        task. Files go under the pseudo-bucket "*" (relevant to every
+        bucket until compact() folds them into the real layout)."""
+        commit_id = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, self.DATA, commit_id)
+        w = df.write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.parquet(out_dir)
+        if not os.path.isdir(out_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            return {}
+        counts = (
+            self.spark.read.parquet(out_dir)
+            .groupBy(F.col("_metadata.file_path").alias("_path"))
+            .count()
+            .collect()
+        )
+        entries = []
+        for r in counts:
+            local = r["_path"]
+            if ":" in local.split("/", 1)[0]:
+                local = "/" + local.split(":", 1)[1].lstrip("/")
+            entries.append(
+                {"path": os.path.relpath(local, self.root), "rows": r["count"], "schema_id": schema_id}
+            )
+        entries.sort(key=lambda e: e["path"])
+        return {"*": entries}
+
     def _evolve_for(self, snap: dict, incoming: T.StructType) -> tuple[dict, T.StructType, str]:
         """Evolve the snapshot's schema catalog for an incoming batch
         schema; returns (new schemas dict fragment applied in-place on a
@@ -649,9 +713,14 @@ class LakeTable:
             # join, no rewrite. read()/compact() LWW-collapse later.
             # Deltas are transient (compaction rewrites them under the
             # session codec, zstd) → cheap snappy on the hot write path.
-            new_files = self._write_files(
-                conform(batch, evolved), snap, sid, rows_hint=rows_hint, codec="snappy"
-            )
+            # Unbucketed layout additionally skips the repartition
+            # shuffle: the whole ingest is map-only.
+            if snap.get("delta_layout", "bucketed") == "unbucketed":
+                new_files = self._write_delta_files(conform(batch, evolved), sid)
+            else:
+                new_files = self._write_files(
+                    conform(batch, evolved), snap, sid, rows_hint=rows_hint, codec="snappy"
+                )
             return self._commit_additive(
                 new_files,
                 evolved,

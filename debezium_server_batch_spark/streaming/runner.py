@@ -64,6 +64,10 @@ class PipelineConfig:
     # __source_ts_ms; costs one extra aggregate scan per window
     track_lag: bool = False
     merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge (create-time only)
+    # MoR delta file layout: 'unbucketed' = map-only writes (no shuffle
+    # on the ingest hot path; compaction folds into the bucket/day
+    # layout) or 'bucketed' = shuffle at write for pre-compaction pruning
+    delta_layout: str = "unbucketed"
     compact_every: int | None = None  # fold MoR deltas every N batches
     prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
     # event-time day partitioning of the target table (days(warc_ts)
@@ -163,6 +167,7 @@ class CdcPipeline:
             order_by=self.cfg.order_by,
             merge_mode=self.cfg.merge_mode,
             partition_ts_col=self.cfg.partition_ts_col,
+            delta_layout=self.cfg.delta_layout,
         )
 
     def _all_tables(self) -> list[LakeTable]:
@@ -308,7 +313,9 @@ class CdcPipeline:
             if row[0] is not None:
                 lag_ms = max(int(time.time() * 1000) - row[0], 0)
 
-        groups = parse_envelope_batch(raw, persist=False)
+        groups = parse_envelope_batch(
+            raw, persist=False, extract_key_schema=self.cfg.key_col is None
+        )
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
         if lag_ms is not None:
             checkpoint_rec_extra = {"ms_behind_source": lag_ms}

@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--batch-window", type=int, default=1_000_000)
     r.add_argument("--batch-events", type=int, default=None, help="event-count-balanced windows")
     r.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    r.add_argument("--delta-layout", default="unbucketed", choices=["unbucketed", "bucketed"],
+                   help="MoR delta files: map-only unbucketed writes vs shuffled bucket layout")
     r.add_argument(
         "--key",
         default="url",
@@ -126,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_buckets=args.buckets,
                 metrics_path=args.metrics,
                 merge_mode=args.merge_mode,
+                delta_layout=args.delta_layout,
                 compact_every=args.compact_every,
                 partition_ts_col=args.partition_ts or None,
                 log_format=args.log_format,

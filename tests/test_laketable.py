@@ -312,3 +312,36 @@ def test_conform_fills_missing_and_casts(spark):
     row = conform(df, target).first()
     assert row["x"] == 1 and row["z"] is None
     assert conform(df, target).schema == target
+
+
+def test_mor_unbucketed_deltas_map_only_then_compact(spark, tmp_path):
+    """Unbucketed MoR deltas: writes land under the '*' pseudo-bucket
+    (map-only, no shuffle), reads stay correct (including bucket-
+    restricted reads), and compact() folds everything into the real
+    bucket layout."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "u"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    t.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True), ("c", "t1", 5, False)]))
+    snap = t.snapshot()
+    assert set(snap["buckets"]) == {"*"}  # all delta files, no shuffle layout
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "t2", "c": "t1"}
+    # bucket-restricted read keeps its contract despite '*' deltas
+    from pyspark.sql import functions as F  # noqa: F811
+    bucket_a = t.read(buckets=[0, 1, 2, 3]).filter(F.col("url") == "a").count()
+    assert bucket_a == 1
+    for b in range(4):
+        got = {r["url"] for r in t.read(buckets=[b]).collect()}
+        assert got <= {"a", "c"}
+    # compact folds '*' into real buckets; state unchanged
+    state = sorted(tuple(r) for r in t.read().collect())
+    t.compact()
+    snap = t.snapshot()
+    assert "*" not in snap["buckets"] and snap["needs_collapse"] is False
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    # post-compact merge appends new '*' deltas again
+    t.merge(_batch(spark, [("a", "t9", 9, False)]))
+    assert "*" in t.snapshot()["buckets"]
+    assert {r["text"] for r in t.read().filter(F.col("url") == "a").collect()} == {"t9"}
