@@ -59,6 +59,10 @@ class SchemaGroup:
     # Connect schema (reference DebeziumBigqueryEvent.java:61-70 derives
     # clustering from the key schema); None when events carry no key
     key_fields: list[str] | None = None
+    # every (schema_hash, schema_json) this group covers — one pair
+    # normally, several when coalesce_schemas merged schema epochs;
+    # feeds the runner's known-schema cache for the optimistic fast path
+    member_schemas: list[tuple] | None = None
     _source: DataFrame | None = None  # persisted split-envelope df, if any
 
 
@@ -111,10 +115,21 @@ def parse_envelope_batch(
     infer_samples: int = 100,
     persist: bool = False,
     extract_key_schema: bool = False,
+    coalesce_schemas: bool = False,
 ) -> list[SchemaGroup]:
     """Parse a raw micro-batch into typed per-(destination, schema)
     groups, ordered by (destination, min offset) so that schema changes
     inside the batch apply in log order (SURVEY.md G2 'hard part').
+
+    With coalesce_schemas=True, a destination's schema groups are merged
+    into ONE group parsed under their union-by-name evolved schema
+    (missing fields null — from_json parses by name, so v1 rows parse
+    correctly under the v2 struct). This halves the number of full-window
+    passes when a schema epoch falls inside the window: the sink applies
+    the same union-by-name evolution it would have reached by applying
+    the groups in offset order (add/widen evolution is commutative;
+    incompatible changes raise either way). Groups without a carried
+    schema (inference fallback) are kept separate.
 
     With persist=True the split envelope (the expensive per-row JSON
     pointer work) is cached across the grouping aggregate and the
@@ -146,7 +161,74 @@ def parse_envelope_batch(
         ev.groupBy(DESTINATION, "schema_hash").agg(*aggs).orderBy(DESTINATION, "min_offset").collect()
     )
 
+    def typed_parse(grp: DataFrame, struct: T.StructType) -> DataFrame:
+        wrapper = T.StructType([T.StructField("payload", struct, True)])
+        return grp.select(
+            *[F.col(c) for c in extra_cols],
+            F.from_json(F.col(VALUE), wrapper).alias("_env"),
+        ).select(*extra_cols, "_env.payload.*")
+
+    def mk_group(row, struct, grp_df, row_count, members=None) -> SchemaGroup:
+        return SchemaGroup(
+            destination=row[DESTINATION],
+            schema_hash=row["schema_hash"],
+            schema_json=row["schema_str"],
+            min_offset=row["min_offset"],
+            row_count_hint=row_count,
+            struct=struct,
+            df=typed_parse(grp_df, struct),
+            key_fields=parse_key_fields(row["key_schema_str"]) if extract_key_schema else None,
+            member_schemas=members
+            if members is not None
+            else [(row["schema_hash"], row["schema_str"])],
+            _source=ev if persist else None,
+        )
+
     out: list[SchemaGroup] = []
+    if coalesce_schemas:
+        by_dest: dict[str, list] = {}
+        for row in groups_meta:
+            by_dest.setdefault(row[DESTINATION], []).append(row)
+        for dest in sorted(by_dest):
+            rows = by_dest[dest]
+            schemaful = [r for r in rows if r["schema_str"] is not None]
+            if len(schemaful) > 1:
+                from ..plans.laketable import evolve_schema
+
+                union = compile_connect_schema(schemaful[0]["schema_str"])
+                for r in schemaful[1:]:  # min_offset order → log order
+                    union, _ = evolve_schema(union, compile_connect_schema(r["schema_str"]))
+                grp = ev.filter(
+                    (F.col(DESTINATION) == dest)
+                    & F.col("schema_hash").isin([r["schema_hash"] for r in schemaful])
+                )
+                out.append(
+                    mk_group(
+                        schemaful[0],
+                        union,
+                        grp,
+                        sum(r["n"] for r in schemaful),
+                        members=[(r["schema_hash"], r["schema_str"]) for r in schemaful],
+                    )
+                )
+                rows = [r for r in rows if r["schema_str"] is None]
+            # a single schema group (or inference groups) use the per-group path
+            for row in rows:
+                struct = compile_connect_schema(row["schema_str"])
+                grp = ev.filter(
+                    (F.col(DESTINATION) == dest) & (F.col("schema_hash") == row["schema_hash"])
+                )
+                if struct is None:
+                    samples = [
+                        r[0]
+                        for r in grp.select(F.get_json_object(F.col(VALUE), "$.payload"))
+                        .limit(infer_samples)
+                        .collect()
+                    ]
+                    struct = _infer_struct(spark, samples)
+                out.append(mk_group(row, struct, grp, row["n"]))
+        return out
+
     for row in groups_meta:
         struct = compile_connect_schema(row["schema_str"])
         grp = ev.filter(
@@ -160,24 +242,7 @@ def parse_envelope_batch(
                 .collect()
             ]
             struct = _infer_struct(spark, samples)
-        wrapper = T.StructType([T.StructField("payload", struct, True)])
-        typed = grp.select(
-            *[F.col(c) for c in extra_cols],
-            F.from_json(F.col(VALUE), wrapper).alias("_env"),
-        ).select(*extra_cols, "_env.payload.*")
-        out.append(
-            SchemaGroup(
-                destination=row[DESTINATION],
-                schema_hash=row["schema_hash"],
-                schema_json=row["schema_str"],
-                min_offset=row["min_offset"],
-                row_count_hint=row["n"],
-                struct=struct,
-                df=typed,
-                key_fields=parse_key_fields(row["key_schema_str"]) if extract_key_schema else None,
-                _source=ev if persist else None,
-            )
-        )
+        out.append(mk_group(row, struct, grp, row["n"]))
     return out
 
 

@@ -677,6 +677,7 @@ class LakeTable:
         checkpoint: dict | None = None,
         lineage: list[dict] | None = None,
         rows_hint: int | None = None,
+        validate=None,
     ) -> int:
         """MERGE INTO (upsert) — the north_rule core.
 
@@ -721,6 +722,13 @@ class LakeTable:
                 new_files = self._write_files(
                     conform(batch, evolved), snap, sid, rows_hint=rows_hint, codec="snappy"
                 )
+            if validate is not None:
+                # post-write, PRE-COMMIT check (e.g. the runner's
+                # optimistic-parse schema-drift probe): raising here
+                # aborts the merge — the written files stay unreferenced
+                # orphans (vacuum reclaims them), the snapshot never
+                # advances, so the caller can redo the window safely
+                validate()
             return self._commit_additive(
                 new_files,
                 evolved,

@@ -53,6 +53,13 @@ def build_session(
         # CPU for scarce disk/network bytes — the right side of the trade
         # for an ingest pipeline that is storage-bandwidth-bound
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # finer input splits: an offset-windowed replay touches only the
+        # few files covering the window (range-partitioned log), and the
+        # 128 MB default then yields ~1 task per file — too coarse to
+        # balance across executors (stragglers at 1.x task waves). 16 MB
+        # splits keep every window's scan ≥ 4 tasks/file so parse+write
+        # saturates the cluster regardless of window placement.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -40,6 +40,11 @@ from .metrics import MetricsLog, ProgressLogger
 from .pacing import NoBatchSizeWait
 
 
+class SchemaDrift(Exception):
+    """Raised pre-commit when the optimistic single-pass parse met a
+    schema it didn't know — the window is redone on the grouped path."""
+
+
 @dataclass
 class PipelineConfig:
     log_path: str
@@ -63,6 +68,10 @@ class PipelineConfig:
     # 60-109 lag gauge) — wall clock minus the window's max
     # __source_ts_ms; costs one extra aggregate scan per window
     track_lag: bool = False
+    # optimistic single-pass windows (skip the schema-group aggregate,
+    # parse with the cached union schema, verify via observe(), redo on
+    # schema drift) — see CdcPipeline._process_fast
+    fast_path: bool = True
     merge_mode: str = "mor"  # mor: O(batch) ingest; cow: rewrite-on-merge (create-time only)
     # MoR delta file layout: 'unbucketed' = map-only writes (no shuffle
     # on the ingest hot path; compaction folds into the bucket/day
@@ -115,6 +124,10 @@ class CdcPipeline:
         self.wait = batch_size_wait or NoBatchSizeWait()
         self.metrics = MetricsLog(config.metrics_path)
         self.progress = ProgressLogger()
+        # known-schema cache for the optimistic single-pass fast path
+        # (single-table mode): schema_hash → connect-schema JSON
+        self._known_schemas: dict[int, str] = {}
+        self._union_struct = None
         self.file_sink = None
         if config.sink == "files":
             from ..plans.file_sink import FileSink
@@ -296,11 +309,121 @@ class CdcPipeline:
             "duration_s": round(time.monotonic() - t0, 3),
         }
 
+    # ------------------------------------------------------------------
+    # optimistic single-pass fast path
+
+    def _fast_path_eligible(self) -> bool:
+        return (
+            self.cfg.fast_path
+            and not self.cfg.table_per_destination
+            and self.file_sink is None
+            and self.cfg.key_col is not None
+            and not self.cfg.prededup
+            and not self.cfg.lineage_per_bucket
+            and not self.cfg.track_lag
+            and self._union_struct is not None
+            and LakeTable.exists(self.cfg.table_root)
+        )
+
+    def _refresh_schema_cache(self, groups) -> None:
+        from ..functions.connect_schema import compile_connect_schema
+        from ..plans.laketable import evolve_schema
+
+        changed = False
+        for g in groups:
+            for h, sjson in g.member_schemas or []:
+                if sjson is not None and h not in self._known_schemas:
+                    self._known_schemas[h] = sjson
+                    changed = True
+        if changed and self._known_schemas:
+            structs = [compile_connect_schema(s) for s in self._known_schemas.values()]
+            union = structs[0]
+            for st in structs[1:]:
+                union, _ = evolve_schema(union, st)
+            self._union_struct = union
+
+    def _process_fast(self, raw, checkpoint: dict, t0: float) -> dict | None:
+        """ONE full pass per window instead of two: skip the schema-
+        grouping aggregate, parse every row with the cached union schema
+        (from_json matches by name, so any known schema version parses
+        correctly), and verify the optimism INSIDE the same write job via
+        observe(collect_set(schema_hash)). An unseen schema hash raises
+        SchemaDrift before the snapshot commit — the written files stay
+        orphans and the window is redone on the grouped path (only DDL
+        windows pay this). Exactly-once is untouched: validation happens
+        pre-commit, under the same atomic snapshot protocol."""
+        from pyspark.sql import Observation
+
+        from ..operators.envelope import OFFSET, VALUE, filter_tombstones
+
+        table = self._table()
+        if table is None or table.snapshot().get("merge_mode") != "mor":
+            return None
+        import pyspark.sql.types as T
+
+        ev = filter_tombstones(raw).withColumn(
+            "schema_hash",
+            F.coalesce(F.xxhash64(F.get_json_object(F.col(VALUE), "$.schema")), F.lit(0)),
+        )
+        obs = Observation()
+        ev = ev.observe(obs, F.collect_set("schema_hash").alias("hashes"), F.count(F.lit(1)).alias("n"))
+        wrapper = T.StructType([T.StructField("payload", self._union_struct, True)])
+        typed = ev.select(
+            F.col(OFFSET), F.from_json(F.col(VALUE), wrapper).alias("_env")
+        ).select(OFFSET, "_env.payload.*")
+        df = to_page_row(
+            normalize_batch(
+                typed,
+                default_ts_ms=self.cfg.default_ts_ms,
+                cast_deleted_field=self.cfg.cast_deleted_field,
+            )
+        )
+
+        stats: dict = {}
+
+        def check_drift():
+            got = obs.get
+            stats["n_events"] = got["n"]
+            stats["hashes"] = got["hashes"]
+            unknown = set(got["hashes"] or []) - set(self._known_schemas)
+            if unknown:
+                raise SchemaDrift(f"unknown schema hashes in window: {sorted(unknown)}")
+
+        table.merge(
+            df,
+            checkpoint=checkpoint,
+            lineage=[{**checkpoint, "fast_path": True}],
+            validate=check_drift,
+        )
+        return {
+            **checkpoint,
+            "n_events": stats.get("n_events", 0),
+            "n_schema_groups": len(stats.get("hashes") or []),
+            "groups": [
+                {
+                    "destination": None,
+                    "schema_hash": sorted(stats.get("hashes") or []),
+                    "group_events": stats.get("n_events", 0),
+                    "bucket_rows": None,
+                }
+            ],
+            "merged_rows": table.total_rows(),
+            "duration_s": round(time.monotonic() - t0, 3),
+        }
+
     def process_batch(self, raw, batch_id: int, lo: int = -1, hi: int = -1) -> dict:
         """Apply one raw micro-batch DataFrame (offset, destination, key,
         value) end-to-end. Shared by the offset-window replay loop and
         the Structured Streaming foreachBatch sink."""
         t0 = time.monotonic()
+        checkpoint0 = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
+        if self._fast_path_eligible():
+            try:
+                out = self._process_fast(raw, checkpoint0, t0)
+                if out is not None:
+                    return out
+            except SchemaDrift:
+                pass  # redo the window on the grouped path below
         # persist=False deliberately: caching the split envelope costs
         # ~20s/batch in columnar cache compression of the raw JSON
         # strings to save a ~1s re-scan (profiled in
@@ -314,8 +437,15 @@ class CdcPipeline:
                 lag_ms = max(int(time.time() * 1000) - row[0], 0)
 
         groups = parse_envelope_batch(
-            raw, persist=False, extract_key_schema=self.cfg.key_col is None
+            raw,
+            persist=False,
+            extract_key_schema=self.cfg.key_col is None,
+            # one union-schema parse+write per destination instead of one
+            # full-window pass per schema epoch (same final state: the
+            # sink's union-by-name evolution is commutative)
+            coalesce_schemas=True,
         )
+        self._refresh_schema_cache(groups)
         checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
         if lag_ms is not None:
             checkpoint_rec_extra = {"ms_behind_source": lag_ms}

@@ -358,3 +358,19 @@ def test_key_envelope_derives_per_destination_pk(spark, tmp_path):
     got = {(r["order_id"], r["line_no"]): r["qty"] for r in items.read().collect()}
     # composite key keeps both lines; line 1 took the LWW update
     assert got == {("o1", "1"): "9", ("o1", "2"): "7"}
+
+
+def test_fast_path_matches_grouped_path(spark, log_path, tmp_path):
+    """The optimistic single-pass fast path (union-schema parse +
+    observe() drift check) must produce exactly the grouped path's final
+    state, including across the schema epoch (where it detects drift,
+    aborts pre-commit and redoes the window)."""
+    roots = {}
+    for fast in (True, False):
+        root = str(tmp_path / f"fp{fast}")
+        CdcPipeline(spark, _cfg(log_path, root, fast_path=fast)).run()
+        roots[fast] = spark_final_state(spark, root)
+    assert roots[True] == roots[False] and len(roots[True]) > 0
+    # fast-path lineage is marked, proving the fast path actually ran
+    hist = LakeTable.load(spark, str(tmp_path / "fpTrue")).history()
+    assert any(rec.get("fast_path") for s in hist for rec in s.get("lineage") or [])
