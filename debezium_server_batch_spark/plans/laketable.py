@@ -749,29 +749,7 @@ class LakeTable:
         target = conform(self._read_raw(buckets=[int(b) for b in affected]), evolved)
         source = conform(batch, evolved)
 
-        s_order = F.struct(*[F.col(f"_s.{c}") for c in order_by])
-        t_order = F.struct(*[F.col(f"_t.{c}") for c in order_by])
-        s_present = F.col(f"_s.{keys[0]}").isNotNull()
-        t_present = F.col(f"_t.{keys[0]}").isNotNull()
-        newer = s_present & (~t_present | (s_order >= t_order))
-        keep_s = newer
-        keep_t = t_present & ~newer
-
-        on = None
-        for k in keys:
-            cond = F.col(f"_t.{k}") == F.col(f"_s.{k}")
-            on = cond if on is None else (on & cond)
-        merged = (
-            target.alias("_t")
-            .join(source.alias("_s"), on, "full_outer")
-            .filter(keep_s | keep_t)
-            .select(
-                *[
-                    F.when(keep_s, F.col(f"_s.{f.name}")).otherwise(F.col(f"_t.{f.name}")).alias(f.name)
-                    for f in evolved.fields
-                ]
-            )
-        )
+        merged = self._cow_combine(target, source, keys, order_by, evolved)
 
         new_files = self._write_files(merged, snap, sid)
         buckets = {b: list(files) for b, files in snap["buckets"].items() if b not in set(affected)}
@@ -794,9 +772,107 @@ class LakeTable:
         # commit means lost update, so fail instead of rebasing
         return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
 
+    @staticmethod
+    def _cow_combine(target: DataFrame, source: DataFrame, keys: list[str], order_by: list[str], out_schema: T.StructType) -> DataFrame:
+        """Order-guarded upsert combine: full-outer join on the key(s),
+        source wins when present and its order_by tuple is >= the
+        target's (so replaying a stale batch is a no-op). Both sides must
+        be ≤1 row per key and conformed to out_schema."""
+        s_order = F.struct(*[F.col(f"_s.{c}") for c in order_by])
+        t_order = F.struct(*[F.col(f"_t.{c}") for c in order_by])
+        s_present = F.col(f"_s.{keys[0]}").isNotNull()
+        t_present = F.col(f"_t.{keys[0]}").isNotNull()
+        newer = s_present & (~t_present | (s_order >= t_order))
+        keep_s = newer
+        keep_t = t_present & ~newer
+
+        on = None
+        for k in keys:
+            cond = F.col(f"_t.{k}") == F.col(f"_s.{k}")
+            on = cond if on is None else (on & cond)
+        return (
+            target.alias("_t")
+            .join(source.alias("_s"), on, "full_outer")
+            .filter(keep_s | keep_t)
+            .select(
+                *[
+                    F.when(keep_s, F.col(f"_s.{f.name}")).otherwise(F.col(f"_t.{f.name}")).alias(f.name)
+                    for f in out_schema.fields
+                ]
+            )
+        )
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+
+    def _read_entries(self, entries: list[dict], snap: dict) -> DataFrame:
+        """Conformed union over an explicit manifest-entry list."""
+        current = self.schema(snap)
+        by_schema: dict[str, list[str]] = {}
+        for f in entries:
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+        if not by_schema:
+            return self.spark.createDataFrame([], current)
+        parts = []
+        for sid, paths in by_schema.items():
+            file_schema = T.StructType.fromJson(json.loads(snap["schemas"][sid]))
+            parts.append(conform(self.spark.read.schema(file_schema).parquet(*paths), current))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_deltas(self) -> int:
+        """MINOR compaction: fold only the outstanding unbucketed '*'
+        delta files into the bucket/day layout, rewriting just the
+        buckets the delta keys touch — O(deltas + touched buckets), not
+        O(table). At 10^10 rows the periodic maintenance loop cannot
+        afford compact()'s full-table rewrite; this is the Iceberg/Hudi
+        minor-compaction equivalent. No-op when no deltas are
+        outstanding."""
+        snap = self.snapshot()
+        star = snap["buckets"].get("*")
+        if not star:
+            return snap["version"]
+        current = self.schema(snap)
+        keys = self._key_cols(snap)
+        order_by = [c for c in snap["order_by"] if c in [f.name for f in current.fields]]
+
+        deltas = self._collapse(self._read_entries(star, snap), snap)
+        affected = {
+            str(r[0]) for r in deltas.select(self._bucket_expr(snap).alias("_b")).distinct().collect()
+        }
+        base_entries = [
+            f for b, files in snap["buckets"].items() if b in affected for f in files
+        ]
+        target = self._read_entries(base_entries, snap)
+        merged = self._cow_combine(target, deltas, keys, order_by, current)
+        new_files = self._write_files(merged, snap, snap["current_schema_id"])
+
+        buckets = {
+            b: list(files)
+            for b, files in snap["buckets"].items()
+            if b != "*" and b not in affected
+        }
+        for b, files in new_files.items():
+            buckets[b] = files
+        payload = {
+            **self._carry(snap),
+            # bucketed files are always key-collapsed; '*' is gone
+            "needs_collapse": False,
+            "schemas": snap["schemas"],
+            "current_schema_id": snap["current_schema_id"],
+            "buckets": buckets,
+            "checkpoint": snap.get("checkpoint"),
+            "lineage": [],
+            "summary": {
+                "operation": "compact-deltas",
+                "delta_files": len(star),
+                "affected_buckets": sorted(int(b) for b in affected),
+            },
+        }
+        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
 
     def compact(self) -> int:
         """Rewrite every bucket to one file under the current schema —

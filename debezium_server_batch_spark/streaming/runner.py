@@ -253,7 +253,9 @@ class CdcPipeline:
             batch_id += 1
             if self.cfg.compact_every and batch_id % self.cfg.compact_every == 0:
                 for t in self._all_tables():
-                    t.compact()
+                    # minor compaction: fold outstanding deltas into the
+                    # bucket layout without rewriting untouched buckets
+                    t.compact_deltas()
             self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
         stats.elapsed_s = time.monotonic() - t_run

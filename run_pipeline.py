@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("compact")
     m.add_argument("--table", required=True)
+    m.add_argument("--incremental", action="store_true",
+                   help="minor compaction: fold outstanding deltas only (O(deltas), not O(table))")
     m.add_argument("--purge-tombstones", action="store_true")
     m.add_argument("--vacuum-keep", type=int, default=2)
 
@@ -157,7 +159,10 @@ def main(argv: list[str] | None = None) -> int:
             t = LakeTable.load(spark, args.table)
             if args.purge_tombstones:
                 t.purge_tombstones()
-            t.compact()
+            if args.incremental:
+                t.compact_deltas()
+            else:
+                t.compact()
             removed = t.vacuum(keep_last=args.vacuum_keep)
             print(json.dumps({"version": t.current_version(), "files_removed": len(removed)}))
     finally:

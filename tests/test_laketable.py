@@ -345,3 +345,36 @@ def test_mor_unbucketed_deltas_map_only_then_compact(spark, tmp_path):
     t.merge(_batch(spark, [("a", "t9", 9, False)]))
     assert "*" in t.snapshot()["buckets"]
     assert {r["text"] for r in t.read().filter(F.col("url") == "a").collect()} == {"t9"}
+
+
+def test_compact_deltas_incremental(spark, tmp_path):
+    """Minor compaction folds only the '*' deltas: untouched buckets keep
+    their exact files, touched buckets absorb the delta rows with LWW +
+    tombstone semantics, and the result equals what a full compact would
+    produce."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ic"), SCHEMA, key_col="url", num_buckets=8,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [(f"u{i}", "t0", i, False) for i in range(40)]))
+    t.compact()  # establish a bucketed base
+    base = {b: [f["path"] for f in fl] for b, fl in t.snapshot()["buckets"].items()}
+    # new deltas touch only two keys (→ at most two buckets) + one delete
+    t.merge(_batch(spark, [("u0", "t1", 100, False), ("u1", None, 101, True)]))
+    assert "*" in t.snapshot()["buckets"]
+    expect = sorted(tuple(r) for r in t.read().collect())
+    v = t.compact_deltas()
+    snap = t.snapshot()
+    assert snap["version"] == v and "*" not in snap["buckets"]
+    assert snap["needs_collapse"] is False
+    affected = set(map(str, snap["summary"]["affected_buckets"]))
+    assert 1 <= len(affected) <= 2
+    # untouched buckets kept their exact files — O(deltas), not O(table)
+    for b, paths in base.items():
+        if b not in affected:
+            assert [f["path"] for f in snap["buckets"][b]] == paths
+    assert sorted(tuple(r) for r in t.read().collect()) == expect
+    assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "t1"
+    assert "u1" not in {r["url"] for r in t.read().collect()}
+    # idempotent no-op when no deltas outstanding
+    assert t.compact_deltas() == v
