@@ -118,24 +118,71 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs: explode distinct shingles,
-    equi-join on shingle, count intersections, filter by
-    |∩| / (|A|+|B|-|∩|) ≥ threshold. No approximation when
-    max_shingle_df=None — the oracle the MinHash path is verified
-    against; also SQL-expressible in DuckDB. At production scale pass
-    max_shingle_df to drop stop-shingles (document frequency > cap)
-    before the self-join; sizes are computed on the capped universe so
-    Jaccard stays internally consistent."""
-    sh = exact_jaccard(df, id_col, text_col, shingle_k)
-    sh = cap_by_frequency(sh, ["sh"], max_shingle_df)
+    """Exact n-gram-Jaccard near-dup pairs: |∩| / (|A|+|B|-|∩|) ≥
+    threshold, no approximation — the oracle the MinHash path is
+    verified against; also SQL-expressible in DuckDB.
+
+    prefix_filter enables the AllPairs/PPJoin prefix-filtering
+    similarity join (EXACT — provably no missed pair): order each doc's
+    shingles by a global total order (document frequency ascending,
+    rarest first) and self-join only the first |d| − ⌈t·|d|⌉ + 1
+    shingles per doc — two sets with J ≥ t must share a prefix element
+    under any common order, so candidate generation shrinks by ~t per
+    side while the final Jaccard is still computed over the FULL
+    intersection. Opt-in: worth it when the shingle document-frequency
+    distribution is heavy-tailed and uncapped (the self-join fan-out
+    dominates); on benign corpora the df-ranking window pass costs more
+    than the smaller join saves (measured both ways at sf0.1), so the
+    default stays the plain intersection join guarded by
+    max_shingle_df.
+
+    At production scale pass max_shingle_df to drop stop-shingles
+    (document frequency > cap) before the self-join; sizes are computed
+    on the capped universe so Jaccard stays internally consistent."""
+    sh = cap_by_frequency(exact_jaccard(df, id_col, text_col, shingle_k), ["sh"], max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if prefix_filter is None:
+        prefix_filter = False
+
+    if prefix_filter and threshold > 0:
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            sh.join(freq, "sh")
+            .withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("sh").asc())),
+            )
+            .join(sizes, "id")
+        )
+        # prefix length |d| - ceil(t*|d|) + 1
+        prefix = ranked.filter(
+            F.col("_rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        ).select("id", "sh")
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cands = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        # exact intersection of candidates only (full shingle sets)
+        fa, fb = sh.alias("fa"), sh.alias("fb")
+        inter = (
+            cands.join(fa, cands.id_a == F.col("fa.id"))
+            .join(fb, (cands.id_b == F.col("fb.id")) & (F.col("fa.sh") == F.col("fb.sh")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
@@ -341,6 +388,32 @@ def hamming64(a, b) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash: str = "xxhash64"
+) -> DataFrame:
+    """(id, sh) SimHash per doc, computed as exploded token rows +
+    per-bit sum aggregates (whole-stage codegen with map-side partial
+    aggregation) instead of the per-row nested array fold of simhash64 —
+    same values, ~2× faster on wide corpora. The shuffle carries one row
+    per (id, token); the aggregate state is `width` longs per id."""
+    width = 63 if hash == "xxhash64" else 60
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    rows = df.select(F.col(id_col).alias("id"), toks)
+    th = F.xxhash64(F.col("tok")) if hash == "xxhash64" else md5_token_hash60(F.col("tok"))
+    rows = rows.select("id", th.alias("th"))
+    votes = rows.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.getbit(F.col("th"), F.lit(b)) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+            for b in range(width)
+        ]
+    )
+    packed = None
+    for b in range(width):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else (packed + term)
+    return votes.select("id", packed.alias("sh"))
+
+
 def simhash_near_dupes(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -357,7 +430,7 @@ def simhash_near_dupes(
     output is exactly the brute-force pair set — which is what lets the
     hash='md5' variant be equality-checked against a SQL oracle."""
     width = (63 if hash == "xxhash64" else 60) // chunks
-    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), hash=hash).alias("sh"))
+    h = simhash_rows(df, id_col, text_col, hash=hash)
     # chunk indices are plain Python ints → unrolled, no lambda needed
     chunk_structs = F.array(
         *[

@@ -176,3 +176,26 @@ def test_embedding_near_dupes(spark):
     assert pairs.get((0, 1)) == pytest.approx(1.0)
     assert (0, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_prefix_filter_is_exact(spark):
+    """AllPairs/PPJoin prefix filtering must be lossless: identical pair
+    sets (and Jaccard values) with the filter on and off, across
+    thresholds, on a corpus with planted near-dups of varying overlap."""
+    base = BASE.split()
+    rows = [(0, BASE), (1, BASE)]
+    for i in range(2, 12):  # progressively weaker overlaps with doc 0
+        kept = base[: max(4, len(base) - 2 * i)]
+        rows.append((i, " ".join(kept + [f"extra{i} filler{i} words{i}"] * i)))
+    rows += [(100 + i, f"unrelated doc {i} " + " ".join(f"w{i}{j}" for j in range(12))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        on = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(docs, shingle_k=3, threshold=t, prefix_filter=True).collect()
+        }
+        off = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(docs, shingle_k=3, threshold=t, prefix_filter=False).collect()
+        }
+        assert on == off and (t > 0.2 or on)  # lossless, and non-trivial at low t
