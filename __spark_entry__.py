@@ -299,7 +299,7 @@ def q_cdc_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_by=("event_id",),
             partition_ts_col="ts",
         )
-        t.append(ev)
+        t.append(ev, rows_hint=ev.count())
         sliced = t.read(days=("2024-01-10", "2024-01-14"))
         out = sliced.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),

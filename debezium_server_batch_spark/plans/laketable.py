@@ -659,12 +659,14 @@ class LakeTable:
         df: DataFrame,
         checkpoint: dict | None = None,
         lineage: list[dict] | None = None,
+        rows_hint: int | None = None,
     ) -> int:
         """Append-only write (reference W1 semantics: updates/deletes land
-        as extra rows — the change ledger mode)."""
+        as extra rows — the change ledger mode). rows_hint caps the
+        salted writer fan-out for small batches."""
         snap = self.snapshot()
         _, evolved, sid = self._evolve_for(snap, df.schema)
-        new_files = self._write_files(conform(df, evolved), snap, sid)
+        new_files = self._write_files(conform(df, evolved), snap, sid, rows_hint=rows_hint)
         added = sum(f["rows"] for fl in new_files.values() for f in fl)
         return self._commit_additive(
             new_files, evolved, checkpoint, lineage, {"operation": "append", "added_rows": added}
