@@ -136,6 +136,42 @@ def ivf_topk(
     return brute_force_topk(cand.drop("_cluster"), query_vec, k, id_col, vec_col, use_arrow=use_arrow)
 
 
+def lsh_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Add the sign-LSH bucket column `_bkt` — build ONCE, query many
+    times with lsh_topk. At 100 TB `_bkt` is written into the table and
+    partitioned/bucketed on, so each query's probe set prunes at the
+    scan instead of recomputing hyperplane signs over the corpus."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucketer = make_sign_lsh_udf(dim, n_planes, seed)
+    return df.withColumn("_bkt", bucketer(F.col(vec_col)))
+
+
+def lsh_probe_buckets(
+    query_vec: list[float], n_planes: int = 10, seed: int = 42, multiprobe_bits: int = 1
+) -> list[int]:
+    """The query's bucket plus every ≤`multiprobe_bits`-bit-flip
+    neighbor (driver-side, O(n_planes))."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((len(query_vec), n_planes))
+    qbits = (np.asarray(query_vec) @ planes) > 0
+    qbucket = 0
+    for j in range(n_planes):
+        qbucket |= int(qbits[j]) << j
+    probes = {qbucket}
+    if multiprobe_bits >= 1:
+        probes.update(qbucket ^ (1 << j) for j in range(n_planes))
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -148,23 +184,10 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: restrict the exact search to rows whose sign-LSH
     bucket is within `multiprobe_bits` bit-flips of the query's bucket.
-    At 100 TB the bucket column is precomputed/partitioned-on so the scan
-    prunes; here it's computed on the fly."""
-    import numpy as np
-
-    dim = len(query_vec)
-    bucketer = make_sign_lsh_udf(dim, n_planes, seed)
-    bucketed = df.withColumn("_bkt", bucketer(F.col(vec_col)))
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qbits = (np.asarray(query_vec) @ planes) > 0
-    qbucket = 0
-    for j in range(n_planes):
-        qbucket |= int(qbits[j]) << j
-    probes = {qbucket}
-    if multiprobe_bits >= 1:
-        probes.update(qbucket ^ (1 << j) for j in range(n_planes))
-
-    cand = bucketed.filter(F.col("_bkt").isin(list(probes)))
-    return brute_force_topk(cand, query_vec, k, id_col, vec_col, use_arrow=True)
+    Accepts a prebuilt index (df already carrying `_bkt` from lsh_build —
+    the query-many contract); falls back to bucketing on the fly with
+    the same (n_planes, seed) for one-shot use."""
+    bucketed = df if "_bkt" in df.columns else lsh_build(df, vec_col, n_planes, seed, dim=len(query_vec))
+    probes = lsh_probe_buckets(query_vec, n_planes, seed, multiprobe_bits)
+    cand = bucketed.filter(F.col("_bkt").isin(probes))
+    return brute_force_topk(cand.drop("_bkt"), query_vec, k, id_col, vec_col, use_arrow=True)

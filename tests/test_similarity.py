@@ -73,3 +73,17 @@ def test_lsh_topk_contains_self_and_subset_quality(emb, query_vec):
     assert approx and approx[0] == 0  # self lands in the query bucket
     # multiprobe recall: at least a third of the exact top-10 recovered
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_lsh_build_once_query_many(emb, query_vec):
+    """Prebuilt _bkt index: identical results to on-the-fly bucketing,
+    reusable across queries (the scan-prunable contract)."""
+    from debezium_server_batch_spark.operators.similarity import lsh_build
+
+    indexed = lsh_build(emb, n_planes=8).cache()
+    onefly = [r["vec_id"] for r in lsh_topk(emb, query_vec, k=10, n_planes=8).collect()]
+    prebuilt = [r["vec_id"] for r in lsh_topk(indexed, query_vec, k=10, n_planes=8).collect()]
+    assert prebuilt == onefly
+    q2 = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    approx2 = [r["vec_id"] for r in lsh_topk(indexed, q2, k=5, n_planes=8).collect()]
+    assert approx2 and approx2[0] == 5
