@@ -406,7 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_append_ledger": """
             SELECT user_id,
                    count(*) AS n_events,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
                    min(epoch_ms(ts)) AS first_ts_ms,
                    max(epoch_ms(ts)) AS last_ts_ms,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -528,9 +528,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    count(*) AS n_sessions,
-                   sum(n_events) AS n_events,
-                   CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session,
-                   sum(span_ms) AS total_span_ms
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(sum(span_ms) AS BIGINT) AS total_span_ms,
+                   CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session
             FROM per GROUP BY user_id
         """,
         "topk_per_user": """

@@ -35,6 +35,19 @@ def _norm(v):
     return v
 
 
+def _arrow_rows(tbl):
+    """Arrow table -> list of row tuples, PRESERVING fetch-level types.
+
+    The driver fetches both sides via arrow, so a DuckDB HUGEINT column
+    (uncast integer sum) arrives as decimal128(38,0) and hash-mismatches a
+    Spark int64 even when values are numerically equal.  fetchall() would
+    mask that (HUGEINT -> Python int), which is why this replica must go
+    through arrow (VERDICT r2 "What's wrong" #1).
+    """
+    cols = [c.to_pylist() for c in tbl.columns]
+    return [tuple(c[i] for c in cols) for i in range(tbl.num_rows)]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -60,9 +73,9 @@ def main():
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows)} rows")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        tbl = con.execute(oracles[name]).arrow()
+        ocols = list(tbl.column_names)
+        orows = _arrow_rows(tbl)
         ok_n = len(srows) == len(orows)
         ok_c = sorted(scols) == sorted(ocols)
         ok_h = ok_n and ok_c and value_hash(srows, scols) == value_hash(orows, ocols)
