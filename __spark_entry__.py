@@ -274,6 +274,46 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cos_sim"))
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup SCALE PATH, equality-checked: the
+    corpus is embeddings ∪ a deterministically perturbed copy of each
+    vector (v + 0.05·reverse(v), cosine ≈ 0.99875 to its original —
+    float→double element ops, so DuckDB reconstructs it bit-identically).
+    At n_planes=12 × n_tables=16 the LSH catches every ≥0.9 pair on this
+    corpus (recall-1 operating point, asserted in pytest at sf0.001 AND
+    sf0.01) while probing ~3.4k of the ~500k possible pairs (~150×
+    pruning; max bucket df 8 ≪ the 1000 hot-bucket cap), and the
+    builtin-fold exact verification makes emitted cosines bit-identical
+    to DuckDB's list_dot_product — so the approximate index output
+    EQUALS the exact SQL pair set, not rows-only."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import embedding_near_dupes
+
+    corpus = _embedding_neardup_corpus(spark, sf_dir)
+    pairs = embedding_near_dupes(
+        corpus, threshold=0.9, n_planes=12, n_tables=16, exact_verify="builtin"
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cos_sim"))
+
+
+def _embedding_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (v + 0.05·reverse(v), vec_id+100000)
+    — all element ops float→double, so DuckDB's list_transform rebuilds
+    the identical doubles."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda x, y: x.cast("double") + F.lit(0.05) * y.cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
 def q_cdc_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end through the engine's table format: land the events
     ledger in a day-partitioned LakeTable (days(ts) alongside
@@ -334,18 +374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_canonical": q_neardup_canonical,
         "ivf_topk": q_ivf_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "cdc_time_slice": q_cdc_time_slice,
     }
 
 
-def _shingle_ctes(k: int) -> str:
+def _shingle_ctes(k: int, max_df: int | None = None) -> str:
     """DuckDB CTEs mirroring functions/text.py shingles(): distinct
-    k-token shingles per doc (short docs → one whole-text shingle)."""
+    k-token shingles per doc (short docs → one whole-text shingle).
+    With max_df, shingles in more than max_df docs are excluded and
+    sizes are computed on the capped universe — the exact semantics of
+    ngram_jaccard_pairs' default stop-shingle guard."""
+    if max_df is None:
+        cap = ""
+    else:
+        cap = f"""
+              JOIN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {max_df}) USING (sh)"""
     return f"""
             toks AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
               FROM documents
-            ), sh AS (
+            ), sh0 AS (
               SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id,
                        unnest(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
@@ -353,6 +402,8 @@ def _shingle_ctes(k: int) -> str:
                                                        i -> array_to_string(t[i:i+{k - 1}], ' ')) END) AS sh
                 FROM toks
               )
+            ), sh AS (
+              SELECT doc_id, sh FROM sh0{cap}
             ), sizes AS (
               SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
             ), inter AS (
@@ -467,25 +518,8 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))) DESC, vec_id
             LIMIT 20
         """,
-        "ngram_jaccard_pairs": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id, sh FROM (
-                SELECT doc_id,
-                       unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                                   ELSE list_transform(range(1, len(t) - 1),
-                                                       i -> array_to_string(t[i:i+2], ' ')) END) AS sh
-                FROM toks
-              )
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-            )
+        "ngram_jaccard_pairs": f"""
+            WITH {_shingle_ctes(3, max_df=10_000)}
             SELECT id_a, id_b,
                    round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
             FROM inter
@@ -566,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardup": _simhash_oracle_sql(),
         "neardup_canonical": f"""
-            WITH RECURSIVE {_shingle_ctes(3)}, pairs AS (
+            WITH RECURSIVE {_shingle_ctes(3, max_df=10_000)}, pairs AS (
               SELECT id_a, id_b
               FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
@@ -609,6 +643,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+        """,
+        "embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), pert AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                                    i -> embedding[i]::DOUBLE
+                                         + 0.05 * embedding[len(embedding) - i + 1]::DOUBLE) AS v
+              FROM embeddings
+            ), corpus AS (
+              SELECT * FROM base UNION ALL SELECT * FROM pert
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.9
         """,
         "cdc_time_slice": """
             SELECT event_type,

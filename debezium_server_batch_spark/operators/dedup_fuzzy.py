@@ -69,14 +69,94 @@ def cap_by_frequency(df: DataFrame, keys: list[str], max_df: int | None) -> Data
     return df.join(F.broadcast(hot), keys, "left_anti")
 
 
+def bucketed_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    payload: list[str] | tuple[str, ...] = (),
+    max_bucket_df: int | None = None,
+    over_cap: str = "star",
+) -> DataFrame:
+    """Candidate (id_a, id_b[, <payload>_a, <payload>_b]) pairs from a
+    bucketed self-join on `keys` — the shared core of every LSH-family
+    candidate generator here (minhash band buckets, simhash pigeonhole
+    chunks, embedding sign-LSH buckets).
+
+    A bucket of m rows contributes m² pairs — the ONLY quadratic term in
+    these plans, and at 100 TB a single boilerplate bucket is a job
+    killer. Buckets over `max_bucket_df` are therefore bounded:
+
+      over_cap='star' (default): an over-cap bucket contributes only
+        (min-id representative, member) pairs — O(m), not O(m²). Nothing
+        is silently lost the way a plain drop loses it: downstream exact
+        verification still filters false positives, and
+        connected-components canonicalization still links the whole
+        cluster through its representative. What's elided is only the
+        explicit listing of non-representative intra-cluster pairs of
+        >cap clusters.
+      over_cap='drop': drop over-cap buckets entirely. A >cap duplicate
+        clique then yields NO pairs at all — opt-in only, for pipelines
+        that treat hot buckets as pure stop-phrase noise.
+
+    max_bucket_df=None disables the guard (exact all-pairs semantics —
+    what the equality oracles check).
+    """
+    if over_cap not in ("star", "drop"):
+        raise ValueError(f"over_cap must be star|drop, got {over_cap!r}")
+    payload = list(payload)
+
+    def _allpairs(r: DataFrame) -> DataFrame:
+        a, b = r.alias("a"), r.alias("b")
+        on = F.col("a.id") < F.col("b.id")
+        for k in keys:
+            on = (F.col(f"a.{k}") == F.col(f"b.{k}")) & on
+        return a.join(b, on).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+        )
+
+    if max_bucket_df is None:
+        return _allpairs(rows)
+    hot = (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("id").alias("_rep"))
+        .filter(F.col("_df") > max_bucket_df)
+        .drop("_df")
+    )
+    cold = rows.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    out = _allpairs(cold)
+    if over_cap == "star":
+        members = rows.join(F.broadcast(hot), keys)
+        reps = members.filter(F.col("id") == F.col("_rep")).select(
+            *keys,
+            F.col("id").alias("_rid"),
+            *[F.col(c).alias(f"{c}_a") for c in payload],
+        )
+        star = (
+            members.filter(F.col("id") != F.col("_rep"))
+            .select(*keys, F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload])
+            .join(reps, keys)
+            # rep = min(id) in the bucket, so id_a < id_b holds by construction
+            .select("_rid", "id_b", *[f"{c}_a" for c in payload], *[f"{c}_b" for c in payload])
+            .withColumnRenamed("_rid", "id_a")
+        )
+        out = out.unionByName(star.select(out.columns))
+    return out
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, max_bucket_df: int | None = 1000
+    sig_df: DataFrame,
+    bands: int = 16,
+    max_bucket_df: int | None = 1000,
+    over_cap: str = "star",
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) → candidate
     (a, b) pairs with a < b. The join key is the band bucket — the LSH
     'shingle→minhash→band→bucket-join' scale pattern. Buckets holding
-    more than `max_bucket_df` docs are dropped before the self-join
-    (quadratic-blowup guard; None disables)."""
+    more than `max_bucket_df` docs are bounded per `over_cap` (see
+    bucketed_pairs; default 'star' keeps >cap duplicate clusters
+    connected instead of dropping them; None disables)."""
     # rows_per_band from the array length at plan time: use expr on size
     sig_len = F.size(F.col("sig"))
     rows_per_band = (sig_len / bands).cast("int")
@@ -94,13 +174,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
-    banded = cap_by_frequency(banded, ["band", "bhash"], max_bucket_df)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return bucketed_pairs(banded, ["band", "bhash"], (), max_bucket_df, over_cap).distinct()
 
 
 def exact_jaccard(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 5) -> DataFrame:
@@ -117,7 +191,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
     prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: |∩| / (|A|+|B|-|∩|) ≥
@@ -138,9 +212,13 @@ def ngram_jaccard_pairs(
     default stays the plain intersection join guarded by
     max_shingle_df.
 
-    At production scale pass max_shingle_df to drop stop-shingles
-    (document frequency > cap) before the self-join; sizes are computed
-    on the capped universe so Jaccard stays internally consistent."""
+    max_shingle_df (default ON at 10 000) drops stop-shingles (document
+    frequency > cap) before the self-join — one stop-shingle at 100 TB
+    is a quadratic blowup on a single shuffle key. Sizes are computed on
+    the capped universe so Jaccard stays internally consistent, and the
+    SQL oracle models the same cap. Degradation is graceful (pairs are
+    still found through their sub-cap shingles), unlike a bucket drop.
+    Pass None for the literal uncapped definition."""
     sh = cap_by_frequency(exact_jaccard(df, id_col, text_col, shingle_k), ["sh"], max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if prefix_filter is None:
@@ -201,15 +279,19 @@ def minhash_near_dupes(
     shingle_k: int = 5,
     threshold: float = 0.8,
     max_bucket_df: int | None = 1000,
+    over_cap: str = "star",
 ) -> DataFrame:
     """Full MinHash pipeline: signatures → banded LSH candidates → exact
-    Jaccard verification of candidates only. Hot band-buckets (>
-    max_bucket_df docs) are dropped before the candidate self-join —
-    at LSH's operating point those buckets are stop-phrase collisions,
-    not near-dup clusters, and they are the only quadratic term in the
-    plan."""
+    Jaccard verification of candidates only. Hot band-buckets
+    (> max_bucket_df docs) — the only quadratic term in the plan — are
+    bounded: the default over_cap='star' reduces each to
+    (representative, member) candidates, so a >cap duplicate cluster
+    stays connected (Jaccard-verified, canonicalization-correct) instead
+    of silently vanishing the way a dropped bucket would. Output equals
+    the exact-Jaccard pair set whenever no bucket exceeds the cap; above
+    it, only non-representative intra-cluster pairs are elided."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sig, bands, max_bucket_df)
+    cands = lsh_candidate_pairs(sig, bands, max_bucket_df, over_cap)
     sh = exact_jaccard(df, id_col, text_col, shingle_k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -421,6 +503,8 @@ def simhash_near_dupes(
     max_hamming: int = 3,
     chunks: int = 4,
     hash: str = "xxhash64",
+    max_chunk_df: int | None = 1000,
+    over_cap: str = "star",
 ) -> DataFrame:
     """SimHash near-dup pairs: by pigeonhole, two hashes within
     `max_hamming ≤ chunks-1` bits share at least one of `chunks`
@@ -428,7 +512,13 @@ def simhash_near_dupes(
     verified by exact Hamming distance. The chunk join is LOSSLESS for
     max_hamming < chunks (every qualifying pair is a candidate), so the
     output is exactly the brute-force pair set — which is what lets the
-    hash='md5' variant be equality-checked against a SQL oracle."""
+    hash='md5' variant be equality-checked against a SQL oracle.
+
+    Hot chunk-buckets (> max_chunk_df docs — a boilerplate corpus can
+    put m docs in one (chunk, cval) bucket → m² candidates on one
+    shuffle key) are bounded via over_cap, default 'star' (see
+    bucketed_pairs). The exact-pair-set claim holds whenever no bucket
+    exceeds the cap; pass max_chunk_df=None for unconditional exactness."""
     width = (63 if hash == "xxhash64" else 60) // chunks
     h = simhash_rows(df, id_col, text_col, hash=hash)
     # chunk indices are plain Python ints → unrolled, no lambda needed
@@ -446,18 +536,12 @@ def simhash_near_dupes(
     chunked = h.select("id", "sh", F.explode(chunk_structs).alias("cc")).select(
         "id", "sh", "cc.chunk", "cc.cval"
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cval") == F.col("b.cval"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        bucketed_pairs(chunked, ["chunk", "cval"], ("sh",), max_chunk_df, over_cap)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -532,23 +616,28 @@ def exact_cosine_pairs(
     )
 
 
-def make_sign_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """Arrow UDF: embedding → LSH bucket id from the sign pattern against
-    `n_planes` seeded random hyperplanes (deterministic)."""
+def make_sign_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
+    """Arrow UDF: embedding → array of `n_tables` LSH bucket ids, one per
+    hash table, each from the sign pattern against `n_planes` seeded
+    random hyperplanes (deterministic). Multiple independent tables are
+    the standard LSH recall lever: a true pair is missed only if it is
+    split in EVERY table — P(miss) = (1 − p^k)^L for per-plane agreement
+    p, k planes, L tables."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_tables))
 
-    @F.pandas_udf(T.LongType())
-    def sign_bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sign_buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             m = np.stack(s.to_numpy())
-            bits = (m @ planes) > 0
-            out = np.zeros(len(s), dtype=np.int64)
-            for j in range(n_planes):
-                out |= bits[:, j].astype(np.int64) << j
-            yield pd.Series(out)
+            bits = (m @ planes) > 0  # (rows, n_planes * n_tables)
+            out = np.zeros((len(s), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for j in range(n_planes):
+                    out[:, t] |= bits[:, t * n_planes + j].astype(np.int64) << j
+            yield pd.Series(list(out))
 
-    return sign_bucket
+    return sign_buckets
 
 
 def embedding_near_dupes(
@@ -559,29 +648,51 @@ def embedding_near_dupes(
     dim: int | None = None,
     n_planes: int = 12,
     seed: int = 42,
+    n_tables: int = 1,
+    max_bucket_df: int | None = 1000,
+    over_cap: str = "star",
+    exact_verify: str = "numpy",
 ) -> DataFrame:
     """Cosine near-dup pairs: sign-LSH bucket join for candidates, exact
-    cosine (numpy over Arrow batches) to verify. Bucket join keeps the
-    candidate set ~n²/2^planes instead of n²."""
+    cosine to verify (so emitted pairs are never false positives).
+
+    Scale levers:
+      n_tables — independent hash tables; recall → 1 as L grows (the
+        sf0.01 driver query runs at a proven recall-1 operating point).
+      max_bucket_df / over_cap — hot-bucket bound (near-constant
+        embeddings put m docs in one bucket → m² candidates); default
+        'star' keeps >cap clusters connected via their representative
+        (see bucketed_pairs) instead of dropping them.
+      exact_verify — 'numpy' (Arrow batch GEMM, fast path) or 'builtin'
+        (sequential-fold Column math, bit-identical to DuckDB's
+        list_dot_product — what the SQL equality oracle needs).
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    bucketer = make_sign_lsh_udf(dim, n_planes, seed)
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn("bkt", bucketer("v"))
-    a, b = e.alias("a"), e.alias("b")
-    cand = a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id"))).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.v").alias("va"), F.col("b.v").alias("vb")
+    if exact_verify not in ("numpy", "builtin"):
+        raise ValueError(f"exact_verify must be numpy|builtin, got {exact_verify!r}")
+    bucketer = make_sign_lsh_udf(dim, n_planes, seed, n_tables)
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucketed = e.select("id", F.posexplode(bucketer("v")).alias("tbl", "bkt"))
+    cand = bucketed_pairs(bucketed, ["tbl", "bkt"], (), max_bucket_df, over_cap).distinct()
+    cand = cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a").join(
+        e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b"
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = np.stack(va.to_numpy()).astype(np.float64)
-        mb = np.stack(vb.to_numpy()).astype(np.float64)
-        num = (ma * mb).sum(axis=1)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+    if exact_verify == "builtin":
+        from ..functions.vectors import cosine
 
-    return (
-        cand.withColumn("cosine", pair_cos("va", "vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+        scored = cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+    else:
+
+        @F.pandas_udf(T.DoubleType())
+        def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            ma = np.stack(va.to_numpy()).astype(np.float64)
+            mb = np.stack(vb.to_numpy()).astype(np.float64)
+            num = (ma * mb).sum(axis=1)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            return pd.Series(num / den)
+
+        scored = cand.withColumn("cosine", pair_cos("va", "vb"))
+
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -42,18 +42,16 @@ MEDIA_SCHEMA = T.StructType(
 
 def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: derive n bytes from sha256(payload).
-    Stands in for a real codec; stable across runs/machines."""
-    out = np.empty(n, dtype=np.uint8)
-    h = hashlib.sha256(payload)
-    pos = 0
-    counter = 0
-    while pos < n:
-        d = hashlib.sha256(h.digest() + counter.to_bytes(4, "little")).digest()
-        take = min(len(d), n - pos)
-        out[pos : pos + take] = np.frombuffer(d[:take], dtype=np.uint8)
-        pos += take
-        counter += 1
-    return out
+    Stands in for a real codec's per-item decode; stable across
+    runs/machines. (A real codec is also a per-item call — the batch
+    vectorization lives in the callers, which do stats/assembly over
+    the whole Arrow batch at once.)"""
+    h = hashlib.sha256(payload).digest()
+    chunks = -(-n // 32)  # ceil: one sha256 digest per 32 bytes
+    buf = b"".join(
+        hashlib.sha256(h + c.to_bytes(4, "little")).digest() for c in range(chunks)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8)
 
 
 DECODED_SCHEMA = "media_id long, width int, height int, mean_intensity double"
@@ -66,13 +64,29 @@ def decode_images(df: DataFrame, real_decode: bool = False) -> DataFrame:
         if real_decode:
             raise NotImplementedError("real image codecs are not installed in this container")
         for pdf in batches:
-            rows = []
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 8)
-                h = int(meta["height"] or 8)
-                px = _fake_pixels(bytes(payload), w * h)
-                rows.append((mid, w, h, float(px.mean())))
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "mean_intensity"])
+            if not len(pdf):
+                continue
+            meta = pd.DataFrame(list(pdf["meta"]))
+            w = meta["width"].fillna(8).astype(np.int64).to_numpy()
+            h = meta["height"].fillna(8).astype(np.int64).to_numpy()
+            sizes = w * h
+            # one decode call per payload (a real codec is the same),
+            # then ONE concatenated pixel buffer for the whole Arrow
+            # batch with vectorized per-image means (np.add.reduceat) —
+            # no per-row Python stats/assembly
+            buf = np.concatenate(
+                [_fake_pixels(bytes(p), n) for p, n in zip(pdf["payload"], sizes)]
+            ).astype(np.float64)
+            offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            means = np.add.reduceat(buf, offsets) / sizes
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "mean_intensity": means,
+                }
+            )
 
     return df.select("media_id", "payload", "meta").mapInPandas(kernel, DECODED_SCHEMA)
 
@@ -87,11 +101,17 @@ def make_feature_extract_udf(dim: int = 16, real_decode: bool = False):
     def extract(payload: pd.Series) -> pd.Series:
         if real_decode:
             raise NotImplementedError("real feature extractors are not installed")
-        feats = [
-            (_fake_pixels(bytes(p), dim).astype(np.float32) / 255.0) if p is not None else None
-            for p in payload
-        ]
-        return pd.Series(feats)
+        mask = payload.notna().to_numpy()
+        out = np.empty(len(payload), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            # per-payload decode, then ONE batch-wide (rows × dim)
+            # matrix scale — the shape a real embedding model inherits
+            mat = np.stack([_fake_pixels(bytes(p), dim) for p in payload[mask]])
+            scaled = mat.astype(np.float32) / np.float32(255.0)
+            for i, j in enumerate(np.nonzero(mask)[0]):
+                out[j] = scaled[i]
+        return pd.Series(out)
 
     return extract
 
@@ -107,13 +127,42 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, real_decode: bool = False
         if real_decode:
             raise NotImplementedError("ffmpeg is not installed in this container")
         for pdf in batches:
-            rows = []
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                dur = int(meta["duration_ms"] or 0)
-                for idx, ts in enumerate(range(0, dur, every_ms)):
-                    hb = hashlib.sha256(bytes(payload) + ts.to_bytes(8, "little")).digest()[:8]
-                    rows.append((mid, idx, ts, int.from_bytes(hb, "little", signed=True)))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_hash"])
+            if not len(pdf):
+                continue
+            meta = pd.DataFrame(list(pdf["meta"]))
+            dur = meta["duration_ms"].fillna(0).astype(np.int64).to_numpy()
+            counts = -(-dur // every_ms) * (dur > 0)  # frames per video
+            if not counts.sum():
+                continue
+            # vectorized frame expansion: np.repeat for ids, a global
+            # arange minus per-video offsets for frame indices — the
+            # per-frame digest is the (fake) decode itself, one call per
+            # frame like a real frame decoder
+            mids = np.repeat(pdf["media_id"].to_numpy(), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            idx = np.arange(counts.sum()) - np.repeat(starts, counts)
+            ts = (idx * every_ms).astype(np.int64)
+            payloads = np.repeat(pdf["payload"].to_numpy(), counts)
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.sha256(bytes(p) + int(t).to_bytes(8, "little")).digest()[:8],
+                        "little",
+                        signed=True,
+                    )
+                    for p, t in zip(payloads, ts)
+                ),
+                dtype=np.int64,
+                count=int(counts.sum()),
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idx.astype(np.int32),
+                    "frame_ts_ms": ts.astype(np.int32),
+                    "frame_hash": hashes,
+                }
+            )
 
     return df.filter(F.col("kind") == "video").select("media_id", "payload", "meta").mapInPandas(kernel, FRAME_SCHEMA)
 

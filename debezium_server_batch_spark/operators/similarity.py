@@ -149,8 +149,8 @@ def lsh_build(
     scan instead of recomputing hyperplane signs over the corpus."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    bucketer = make_sign_lsh_udf(dim, n_planes, seed)
-    return df.withColumn("_bkt", bucketer(F.col(vec_col)))
+    bucketer = make_sign_lsh_udf(dim, n_planes, seed, n_tables=1)
+    return df.withColumn("_bkt", bucketer(F.col(vec_col))[0])
 
 
 def lsh_probe_buckets(

@@ -63,7 +63,12 @@ class FileSink:
     def write(self, df: DataFrame, destination_name: str) -> str:
         """One upload — any Spark save format/mode, per destination."""
         path = self.destination_path(destination_name)
-        df.write.mode(self.save_mode).format(self.save_format).save(path)
+        w = df.write.mode(self.save_mode).format(self.save_format)
+        if self.save_format == "csv":
+            # read() expects header=true; without it the first data row
+            # of every csv file would be consumed as column names
+            w = w.option("header", "true")
+        w.save(path)
         return path
 
     # ------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Storage layer for LakeTable metadata: the half-dozen primitives the
+commit protocol needs from a backend, isolated so the POSIX defaults can
+be swapped for an object store.
+
+The reference's primary deployment target is object storage (its Spark
+consumer saves straight to an S3 bucket — BatchSparkChangeConsumer.java:
+104-110 — and its test bed runs MinIO, shared/S3Minio.java:36-39). POSIX
+`os.link` claims / `os.listdir` discovery don't exist there, but every
+major object store now offers an atomic create-if-absent (S3/GCS/Azure
+conditional PUT with `If-None-Match: *`), which is exactly the `claim()`
+primitive below — so an S3 backend is a drop-in: claim→conditional PUT,
+list→ListObjectsV2 prefix, read/write→GET/PUT, delete→DELETE. Data files
+are written by Spark itself (any Hadoop-supported FS); this layer covers
+only the metadata/commit path plus vacuum's file deletion.
+
+ConditionalPutStorage is an in-process object-store semantics double for
+tests: flat keys, no links, no renames, no directories — claim() is an
+atomic exists-check-and-put under a lock, the way a conditional PUT
+behaves server-side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import uuid
+from typing import Iterator
+
+
+class PosixStorage:
+    """Default backend: local/NFS filesystems. claim() uses hard-link
+    O_EXCL semantics (atomic on POSIX even over NFS)."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def write_text(self, path: str, data: str) -> None:
+        """Durable non-racing write (manifests: uuid names, no contention)."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def claim(self, path: str, data: str) -> bool:
+        """Atomically create `path` with `data` iff it does not exist.
+        Returns False if another writer holds it — the commit-race
+        primitive (an object store's conditional PUT)."""
+        tmp = os.path.join(os.path.dirname(path), f".claim-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                yield os.path.join(dirpath, fn)
+
+    def cleanup_empty_dirs(self, root: str) -> None:
+        """Remove now-empty subtrees (object stores have no directories —
+        their impls no-op this)."""
+        if not os.path.isdir(root):
+            return
+        for entry in list(os.listdir(root)):
+            full = os.path.join(root, entry)
+            if os.path.isdir(full) and not any(files for _, _, files in os.walk(full)):
+                shutil.rmtree(full, ignore_errors=True)
+
+
+class ConditionalPutStorage(PosixStorage):
+    """Object-store semantics double: keys live on local disk for Spark
+    interop, but the commit path uses only operations an object store
+    has — no hard links, no renames. claim() emulates a conditional PUT
+    (`If-None-Match: *`): atomic exists-check-and-put, serialized the
+    way the store's backend serializes concurrent conditional PUTs."""
+
+    _lock = threading.Lock()
+
+    def write_text(self, path: str, data: str) -> None:
+        with open(path, "w") as fh:  # PUT: single-shot object write
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def claim(self, path: str, data: str) -> bool:
+        with self._lock:
+            if os.path.exists(path):
+                return False
+            self.write_text(path, data)
+            return True

@@ -92,3 +92,32 @@ class EventLogSource:
         queue-size probe driving MaxBatchSizeWait (DebeziumMetrics.java:
         60-109): poll how much log exists past the checkpoint."""
         return self.df().filter(F.col(self.offset_col) > F.lit(after_offset)).count()
+
+    def snapshot_running(
+        self, after_offset: int = 0, probe_events: int = 1024, threshold: float = 0.5
+    ) -> bool:
+        """Derive the reference's 'snapshot running' gauge from the log
+        itself: Debezium marks initial-snapshot reads with __op='r'
+        (the reference polls it from JMX MBeans, DebeziumMetrics.java:
+        60-109 / MaxBatchSizeWait.java:56-60 — the log carries the same
+        signal). True when ≥ `threshold` of the next `probe_events`
+        events past the checkpoint are snapshot reads. Bounded probe:
+        offset predicate pushes down, limit caps the scan."""
+        agg = (
+            self.df()
+            .filter(F.col(self.offset_col) > F.lit(after_offset))
+            # earliest pending events (TakeOrderedAndProject — bounded
+            # k, not a full sort); a bare limit() is partition-order
+            # arbitrary and could probe the wrong end of the window
+            .orderBy(F.col(self.offset_col).asc())
+            .limit(probe_events)
+            .select(F.get_json_object("value", "$.payload.__op").alias("op"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "r", 1).otherwise(0)).alias("r"),
+            )
+            .first()
+        )
+        if agg is None or not agg["n"]:
+            return False
+        return agg["r"] / agg["n"] >= threshold

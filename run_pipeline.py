@@ -112,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
                     pending_fn=lambda: src.pending_count(0),
                     max_batch_size=args.max_batch_size,
                     max_wait_ms=args.max_wait_ms,
+                    # skip waits while the log tail is snapshot-phase load
+                    # (__op='r'), like the reference's JMX-driven gate
+                    snapshot_running_fn=lambda: src.snapshot_running(0),
                 )
             else:
                 wait = wait_cls()

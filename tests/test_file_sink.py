@@ -71,6 +71,18 @@ def test_file_sink_json_format_and_wallclock_dt(spark, tmp_path):
     assert sink.read("t1").count() == 4
 
 
+def test_file_sink_csv_roundtrip_keeps_first_row(spark, tmp_path):
+    """Regression (r2 ADVICE): write() must emit the csv header read()
+    expects — without it the first data row of every file was consumed
+    as column names."""
+    sink = FileSink(spark, str(tmp_path / "c"), save_format="csv")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sink.write(df, "t1")
+    back = sink.read("t1")
+    assert sorted(back.columns) == ["k", "v"]
+    assert sorted((r["k"], int(r["v"])) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
 def test_jsonlines_event_log_source(spark, tmp_path):
     """S6: a jsonlines-spooled event log (the reference's
     getJsonLinesFile shape) replays to the same final state as the

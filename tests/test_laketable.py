@@ -260,6 +260,37 @@ def test_time_partition_prunes_files(spark, tmp_path):
     assert len(t.read(days=("2024-01-02", "2024-01-02")).inputFiles()) == len(one_day)
 
 
+def test_mor_days_read_does_not_resurrect_superseded_rows(spark, tmp_path):
+    """Regression (r2 ADVICE): on a MoR table with outstanding deltas, a
+    days-ranged read must NOT file-prune before the LWW collapse — a key
+    whose newest version (or tombstone) lives in an out-of-range
+    day-file would resurface with an older in-range version as live."""
+    import datetime as dt
+
+    schema = T.StructType(SCHEMA.fields + [T.StructField("warc_ts", T.TimestampType(), True)])
+    t = LakeTable.create(
+        spark, str(tmp_path / "md"), schema, key_col="url", num_buckets=2,
+        order_by=("__lsn",), partition_ts_col="warc_ts",
+        merge_mode="mor", delta_layout="unbucketed",
+    )
+    d1, d2 = dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 2, 12)
+    t.merge(spark.createDataFrame(
+        [("a", "old", 1, False, d1), ("b", "keep", 2, False, d1)], schema))
+    # newer version of 'a' and a tombstone for 'b' land in day 2
+    t.merge(spark.createDataFrame(
+        [("a", "new", 3, False, d2), ("b", None, 4, True, d2)], schema))
+    assert t.snapshot()["needs_collapse"] is True
+
+    day1 = {r["url"]: r["text"] for r in t.read(days=("2024-01-01", "2024-01-01")).collect()}
+    assert day1 == {}  # neither stale 'a' nor deleted 'b' may resurface
+    day2 = {r["url"]: r["text"] for r in t.read(days=("2024-01-02", "2024-01-02")).collect()}
+    assert day2 == {"a": "new"}
+    # after compaction the pruned fast path gives the same answers
+    t.compact()
+    assert {r["url"] for r in t.read(days=("2024-01-01", "2024-01-01")).collect()} == set()
+    assert {r["url"]: r["text"] for r in t.read(days=("2024-01-02", "2024-01-02")).collect()} == {"a": "new"}
+
+
 def test_mor_merge_append_collapse_compact(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "m"), SCHEMA, key_col="url", num_buckets=4,
@@ -378,3 +409,183 @@ def test_compact_deltas_incremental(spark, tmp_path):
     assert "u1" not in {r["url"] for r in t.read().collect()}
     # idempotent no-op when no deltas outstanding
     assert t.compact_deltas() == v
+
+
+def test_transient_write_failure_retries_exactly_once(spark, tmp_path):
+    """Injected fault: the first write attempt really lands files, then
+    fails 'transiently'. The bounded retry must land the window EXACTLY
+    once (no duplicate rows — the failed attempt's files stay
+    unreferenced orphans), and vacuum reclaims the orphans. Mirrors the
+    reference's BigQuery retry discipline (r2 verdict next-round #5)."""
+    from debezium_server_batch_spark.plans.laketable import (
+        SchemaEvolutionError,
+        TransientWriteError,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rw"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",),
+    )
+    t.WRITE_BACKOFF_S = 0.0
+    real = t._write_files_once
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real(*a, **kw)  # files hit disk, then the 'executor' dies
+            raise TransientWriteError("injected executor failure")
+        return real(*a, **kw)
+
+    t._write_files_once = flaky
+    try:
+        t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    finally:
+        del t._write_files_once
+    assert calls["n"] == 2  # failed once, retried once
+    assert sorted(r["url"] for r in t.read().collect()) == ["a", "b"]  # exactly once
+    orphans = t.vacuum(keep_last=10)  # keep all snapshots: only orphans go
+    assert orphans  # first attempt's unreferenced files reclaimed
+    assert sorted(r["url"] for r in t.read().collect()) == ["a", "b"]
+
+    # deterministic errors must NOT retry
+    def always_schema_err(*a, **kw):
+        calls["n"] += 1
+        raise SchemaEvolutionError("bad plan")
+
+    calls["n"] = 0
+    t._write_files_once = always_schema_err
+    try:
+        with pytest.raises(SchemaEvolutionError):
+            t.merge(_batch(spark, [("c", "t", 3, False)]))
+    finally:
+        del t._write_files_once
+    assert calls["n"] == 1
+
+
+def test_object_store_storage_backend(spark, tmp_path):
+    """The commit protocol runs against the pluggable StorageLayer: with
+    ConditionalPutStorage (object-store semantics: no hard links, no
+    renames, claim = conditional PUT) the table round-trips, an additive
+    commit losing a race rebases onto the winner, and a stale rewrite
+    raises instead of erasing the winner (r2 verdict next-round #4)."""
+    import json as _json
+
+    from debezium_server_batch_spark.plans.laketable import ConcurrentCommitError
+    from debezium_server_batch_spark.plans.storage import ConditionalPutStorage
+
+    st = ConditionalPutStorage()
+    t = LakeTable.create(
+        spark, str(tmp_path / "os"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), storage=st,
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    t.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True)]))
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "t2"}
+    assert LakeTable.load(spark, str(tmp_path / "os"), storage=st).total_rows() == t.total_rows()
+
+    # additive race: a winner claims the next version mid-commit; the
+    # loser must rebase (re-apply its additions), not clobber
+    raced = {"done": False}
+    my_files = {"0": [{"path": "data/mine/f.parquet", "rows": 1, "schema_id": "0"}]}
+    real_claim = st.claim
+
+    def racing_claim(path, data):
+        if not raced["done"]:
+            raced["done"] = True
+            snap = _json.loads(data)
+            winner = dict(snap)
+            winner["bucket_manifests"] = {
+                **snap.get("bucket_manifests", {}),
+                "1": [t._write_manifest([{"path": "data/winner/w.parquet", "rows": 5, "schema_id": "0"}])],
+            }
+            winner["summary"] = {"operation": "winner"}
+            assert real_claim(path, _json.dumps(winner))
+            return False  # loser's conditional PUT fails
+        return real_claim(path, data)
+
+    st.claim = racing_claim
+    try:
+        v = t._commit_additive(my_files, t.schema(), None, None, {"operation": "mine"})
+    finally:
+        st.claim = real_claim
+    snap = t.snapshot()
+    all_paths = {f["path"] for fl in snap["buckets"].values() for f in fl}
+    assert snap["version"] == v
+    assert "data/winner/w.parquet" in all_paths and "data/mine/f.parquet" in all_paths
+
+    # stale rewrite: conditional PUT lost → ConcurrentCommitError
+    stale = t.snapshot()
+    t.append(_batch(spark, [("z", "t", 9, False)]))
+    payload = {k: stale.get(k) for k in LakeTable._CARRY}
+    payload.update(schemas=stale["schemas"], current_schema_id=stale["current_schema_id"],
+                   buckets={}, checkpoint=None, lineage=[], summary={"operation": "stale"})
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(lambda base: dict(payload), rebaseable=False, expected_base=stale["version"])
+
+
+def test_segmented_manifest_commit_metadata_flat(spark, tmp_path):
+    """Snapshot headers reference immutable per-bucket manifest files, so
+    per-commit metadata stays O(new files), not O(table files): the
+    header size is bounded (refs fold after MANIFEST_FOLD deltas) while
+    the table's file count grows without bound, reads/time-travel still
+    resolve, and vacuum drops manifests of expired versions."""
+    import os as _os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "sm"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    meta = _os.path.join(str(tmp_path / "sm"), "_meta")
+
+    def header_bytes(v):
+        return _os.path.getsize(_os.path.join(meta, f"v{v:08d}.json"))
+
+    sizes = []
+    for i in range(20):
+        v = t.merge(_batch(spark, [(f"u{i}", f"t{i}", i, False)]))
+        sizes.append(header_bytes(v))
+    n_files = sum(len(fl) for fl in t.snapshot()["buckets"].values())
+    assert n_files >= 20  # table file count grew linearly...
+    assert max(sizes[10:]) <= 2 * max(sizes[:5])  # ...header size did not
+    # manifests hold the entries; header holds only refs
+    snap_raw = __import__("json").load(open(_os.path.join(meta, f"v{v:08d}.json")))
+    assert "buckets" not in snap_raw and "bucket_manifests" in snap_raw
+    # reads + time travel resolve through the segmented metadata
+    assert t.read().count() == 20
+    assert t.read(version=5).count() == 5
+    # vacuum expires old versions AND their now-unreferenced manifests
+    before = len([f for f in _os.listdir(meta) if f.startswith("m-")])
+    t.compact()
+    t.vacuum(keep_last=1)
+    after = len([f for f in _os.listdir(meta) if f.startswith("m-")])
+    assert after < before
+    assert t.read().count() == 20
+
+
+def test_compact_deltas_folds_bucketed_layout(spark, tmp_path):
+    """Regression (r2 ADVICE): on a delta_layout='bucketed' MoR table,
+    deltas land in real buckets, not '*'. compact_deltas() must fold
+    them (it used to be a permanent no-op: needs_collapse never cleared,
+    per-read LWW collapse and file counts grew unboundedly)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "bk"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="bucketed",
+    )
+    t.merge(_batch(spark, [(f"u{i}", "t0", i, False) for i in range(20)]))
+    t.merge(_batch(spark, [("u0", "t1", 100, False), ("u1", None, 101, True)]))
+    snap = t.snapshot()
+    assert "*" not in snap["buckets"] and snap["needs_collapse"] is True
+    n_files_before = sum(len(fl) for fl in snap["buckets"].values())
+    expect = sorted(tuple(r) for r in t.read().collect())
+
+    v = t.compact_deltas()
+    snap = t.snapshot()
+    assert snap["version"] == v
+    assert snap["needs_collapse"] is False
+    assert sum(len(fl) for fl in snap["buckets"].values()) < n_files_before
+    assert sorted(tuple(r) for r in t.read().collect()) == expect
+    assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "t1"
+    assert "u1" not in {r["url"] for r in t.read().collect()}
+    # second call: nothing left to fold, version stable or flag-only
+    assert t.compact_deltas() == snap["version"]

@@ -101,3 +101,42 @@ def test_registry_selection():
     assert select_batch_size_wait("DynamicBatchSizeWait") is DynamicBatchSizeWait
     with pytest.raises(ValueError):
         select_batch_size_wait("BogusWait")
+
+
+def test_snapshot_phase_derived_from_log(spark, tmp_path):
+    """F5/MaxBatchSizeWait gate derived from the log itself: a prefix of
+    __op='r' snapshot reads reads as 'snapshot running'; past the
+    prefix, streaming ops ('c'/'u') read as not running (r2 verdict
+    next-round #6 — the reference gets this gauge from JMX,
+    MaxBatchSizeWait.java:56-60)."""
+    import json as _json
+
+    from debezium_server_batch_spark.sources.event_log import EventLogSource
+
+    def ev(offset, op):
+        return (offset, "t.db.pages", None,
+                _json.dumps({"payload": {"url": f"k{offset}", "__op": op, "__lsn": offset}}))
+
+    rows = [ev(i, "r") for i in range(50)] + [ev(50 + i, "c") for i in range(50)]
+    log = str(tmp_path / "snaplog")
+    spark.createDataFrame(
+        rows, "offset long, destination string, key string, value string"
+    ).write.parquet(log)
+
+    src = EventLogSource(spark, log)
+    assert src.snapshot_running(after_offset=0, probe_events=40) is True
+    assert src.snapshot_running(after_offset=49, probe_events=40) is False
+    # mid-transition: minority of 'r' in the probe window → not running
+    assert src.snapshot_running(after_offset=39, probe_events=40) is False
+    # empty tail → not running
+    assert src.snapshot_running(after_offset=99) is False
+
+    w = MaxBatchSizeWait(
+        pending_fn=lambda: 0,
+        max_batch_size=100,
+        max_wait_ms=3000,
+        wait_interval_ms=1000,
+        snapshot_running_fn=lambda: src.snapshot_running(0, probe_events=40),
+        sleep_fn=lambda s: None,
+    )
+    assert w.wait_ms() == 0  # snapshot load: no artificial wait
