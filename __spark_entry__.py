@@ -264,9 +264,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs — exact all-pairs baseline (the oracle
-    anchor for the sign-LSH scale path, operators/dedup_fuzzy.py
-    embedding_near_dupes, which is recall-tested in pytest)."""
+    """Embedding near-dup pairs — exact all-pairs BASELINE. The
+    broadcast-GEMM candidate pass caps this at driver-memory scale
+    (~10^7 vectors); production runs the sign-LSH scale path instead,
+    which is itself equality-checked as the `embedding_neardup` driver
+    query at a proven recall-1 operating point."""
     from debezium_server_batch_spark.operators.dedup_fuzzy import exact_cosine_pairs
 
     emb = _read(spark, sf_dir, "embeddings")

@@ -86,6 +86,13 @@ class PipelineConfig:
     # topic, name rewritten by regexp). False → single table at
     # table_root; True → table_root/<rewritten destination>.
     table_per_destination: bool = False
+    # concurrent per-table merges within a window: destinations map to
+    # independent table roots, so their merges are independent Spark
+    # jobs — submitting them from worker threads lets the scheduler
+    # overlap them and removes the per-window serial driver loop (the
+    # residual scaling gap in BASELINE.md). Groups sharing a root stay
+    # ordered within one worker. 1 = serial (single-table mode's shape).
+    merge_parallelism: int = 4
     destination_regexp: str | None = None
     destination_replacement: str = ""
     destination_prefix: str = ""
@@ -468,7 +475,7 @@ class CdcPipeline:
         roots = [self._root_for(g.destination) for g in groups]
         last_group_idx = {root: i for i, root in enumerate(roots)}
 
-        for gi, g in enumerate(groups):
+        def merge_group(gi: int, g) -> dict:
             df = normalize_batch(
                 g.df,
                 default_ts_ms=self.cfg.default_ts_ms,
@@ -523,8 +530,33 @@ class CdcPipeline:
                 lineage=[{**checkpoint, **group_record}],
                 rows_hint=g.row_count_hint,
             )
-            n_events += g.row_count_hint
-            group_records.append(group_record)
+            return group_record
+
+        # per-table merges are independent Spark jobs — run one worker
+        # thread per table root (groups sharing a root stay in offset
+        # order inside their worker; per-root commit/checkpoint ordering
+        # is preserved). Spark's scheduler interleaves the jobs' stages,
+        # collapsing the serial per-window driver loop.
+        by_root: dict[str, list[int]] = {}
+        for gi, root in enumerate(roots):
+            by_root.setdefault(root, []).append(gi)
+        workers = min(self.cfg.merge_parallelism, len(by_root))
+        results: dict[int, dict] = {}
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run_root(indices: list[int]) -> list[tuple[int, dict]]:
+                return [(gi, merge_group(gi, groups[gi])) for gi in indices]
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for chunk in pool.map(run_root, by_root.values()):
+                    results.update(dict(chunk))
+        else:
+            for gi, g in enumerate(groups):
+                results[gi] = merge_group(gi, g)
+        for gi in sorted(results):
+            group_records.append(results[gi])
+            n_events += groups[gi].row_count_hint
 
         # destinations with no events this window (or empty window):
         # advance their checkpoint with a metadata-only commit so the
