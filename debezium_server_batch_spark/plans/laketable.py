@@ -124,7 +124,16 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 # Immutable per-bucket manifest files are cached by absolute path; a
 # manifest is never rewritten after commit, so the cache can't go stale.
+# FIFO-bounded so a driver replaying millions of micro-batches doesn't
+# accumulate every historical manifest in memory.
 _MANIFEST_CACHE: dict[str, list[dict]] = {}
+_MANIFEST_CACHE_MAX = 8192
+
+
+def _manifest_cache_put(path: str, entries: list[dict]) -> None:
+    while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[path] = entries
 
 
 class LakeTable:
@@ -230,9 +239,13 @@ class LakeTable:
         return t
 
     @classmethod
-    def exists(cls, root: str) -> bool:
+    def exists(cls, root: str, storage=None) -> bool:
+        if storage is None:
+            from .storage import PosixStorage
+
+            storage = PosixStorage()
         meta = os.path.join(root, cls.META)
-        return os.path.isdir(meta) and any(f.startswith("v") for f in os.listdir(meta))
+        return storage.isdir(meta) and any(f.startswith("v") for f in storage.listdir(meta))
 
     # ------------------------------------------------------------------
     # snapshot plumbing
@@ -287,7 +300,7 @@ class LakeTable:
         name = f"m-{uuid.uuid4().hex}.json"
         path = os.path.join(self._meta_dir(), name)
         self.storage.write_text(path, json.dumps(entries))
-        _MANIFEST_CACHE[path] = entries
+        _manifest_cache_put(path, entries)
         return name
 
     def _load_manifest(self, name: str) -> list[dict]:
@@ -295,7 +308,7 @@ class LakeTable:
         cached = _MANIFEST_CACHE.get(path)
         if cached is None:
             cached = json.loads(self.storage.read_text(path))
-            _MANIFEST_CACHE[path] = cached
+            _manifest_cache_put(path, cached)
         return cached
 
     def _externalize_buckets(self, snap: dict, base: dict | None) -> None:
@@ -971,6 +984,71 @@ class LakeTable:
         for sid, paths in by_schema.items():
             file_schema = T.StructType.fromJson(json.loads(snap["schemas"][sid]))
             parts.append(conform(self.spark.read.schema(file_schema).parquet(*paths), current))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # operations whose added files carry NEW logical rows (a changelog
+    # entry); maintenance rewrites re-emit existing rows and are skipped
+    _CHANGE_OPS = ("create", "append", "merge-mor")
+    _REWRITE_OPS = ("compact", "compact-deltas", "purge-tombstones")
+
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog read — the Iceberg incremental-scan
+        equivalent, and the hook for chaining CDC pipelines (a downstream
+        consumer processes only what landed after the snapshot it last
+        saw, instead of re-scanning 10^10 rows).
+
+        Returns every row ADDED by commits in (since_version,
+        to_version], with a `_commit_version` column. Purely a metadata
+        file-diff: O(new files) planning, the scan touches only the new
+        files. Tombstone rows are included (they ARE the delete events a
+        changelog must carry — filter `__deleted` downstream if not).
+
+        Exact on append / MoR-merge history (each commit's files hold
+        exactly its batch). A CoW merge rewrites whole buckets — its
+        files mix new and re-emitted rows — so a CoW commit in range
+        raises ValueError instead of silently over-reporting.
+        Maintenance commits (compaction, vacuum-expiry survivors,
+        checkpoint-only) add no logical rows and are skipped."""
+        cur = self.current_version()
+        to_version = cur if to_version is None else to_version
+        if since_version > to_version:
+            raise ValueError(f"since_version {since_version} > to_version {to_version}")
+        current = self.schema(self.snapshot(to_version))
+        parts: list[DataFrame] = []
+        prev = self.snapshot(since_version)
+        for v in range(since_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            op = (snap.get("summary") or {}).get("operation", "")
+            if op in self._CHANGE_OPS:
+                prev_paths = {f["path"] for fl in prev["buckets"].values() for f in fl}
+                added = [
+                    f
+                    for fl in snap["buckets"].values()
+                    for f in fl
+                    if f["path"] not in prev_paths
+                ]
+                if added:
+                    parts.append(
+                        conform(self._read_entries(added, snap), current).withColumn(
+                            "_commit_version", F.lit(v)
+                        )
+                    )
+            elif op not in self._REWRITE_OPS and op != "checkpoint-only":
+                raise ValueError(
+                    f"changes({since_version}, {to_version}): commit v{v} is "
+                    f"{op or 'unknown'!r} — a rewrite whose files mix new and re-emitted "
+                    "rows; changelog reads need append/MoR history (or pass a range "
+                    "that excludes it)"
+                )
+            prev = snap
+        if not parts:
+            schema = T.StructType(
+                current.fields + [T.StructField("_commit_version", T.IntegerType(), False)]
+            )
+            return self.spark.createDataFrame([], schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

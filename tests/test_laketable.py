@@ -411,6 +411,41 @@ def test_compact_deltas_incremental(spark, tmp_path):
     assert t.compact_deltas() == v
 
 
+def test_changes_incremental_changelog(spark, tmp_path):
+    """changes(since) returns exactly the rows landed by commits after
+    `since` (metadata file-diff, tombstones included, maintenance
+    commits skipped) — the incremental-scan hook for chaining CDC
+    pipelines without re-scanning the table."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ch"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    v1 = t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    v2 = t.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True)]))
+
+    ch = t.changes(v1)
+    rows = {(r["url"], r["text"], r["__deleted"], r["_commit_version"]) for r in ch.collect()}
+    assert rows == {("a", "t2", False, v2), ("b", None, True, v2)}  # tombstone included
+
+    full = t.changes(0)
+    assert {(r["url"], r["__lsn"]) for r in full.collect()} == {("a", 1), ("b", 2), ("a", 3), ("b", 4)}
+
+    # maintenance commits add no changelog entries
+    t.compact()
+    assert {(r["url"], r["__lsn"]) for r in t.changes(v1).collect()} == {("a", 3), ("b", 4)}
+    assert t.changes(t.current_version()).count() == 0
+
+    # a CoW merge in range mixes new and re-emitted rows → refuse
+    c = LakeTable.create(
+        spark, str(tmp_path / "chc"), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="cow",
+    )
+    c.merge(_batch(spark, [("a", "t1", 1, False)]))
+    cv = c.merge(_batch(spark, [("a", "t2", 2, False)]))
+    with pytest.raises(ValueError):
+        c.changes(cv - 1)
+
+
 def test_transient_write_failure_retries_exactly_once(spark, tmp_path):
     """Injected fault: the first write attempt really lands files, then
     fails 'transiently'. The bounded retry must land the window EXACTLY
