@@ -355,6 +355,48 @@ def q_cdc_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL CHANGELOG read through the table format:
+    land the events ledger in two appends split on event time, then read
+    ONLY the second commit's rows via LakeTable.changes(v1) — a metadata
+    file-diff (O(new files) planning; no table re-scan), the hook a
+    downstream CDC consumer uses to chain pipelines. The oracle
+    recomputes the same aggregate from the raw parquet's second half, so
+    write → snapshot-diff → delta-read is equality-checked."""
+    import shutil
+    import tempfile
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("date")
+    first = ev.filter(F.to_date(F.col("ts")) < cut)
+    second = ev.filter(F.to_date(F.col("ts")) >= cut)
+    workdir = tempfile.mkdtemp(prefix="dsbs-changelog-")
+    try:
+        t = LakeTable.create(
+            spark,
+            os.path.join(workdir, "ledger"),
+            schema=ev.schema,
+            key_col="event_id",
+            num_buckets=4,
+            order_by=("event_id",),
+        )
+        t.append(first, rows_hint=first.count())
+        v1 = t.current_version()
+        t.append(second, rows_hint=second.count())
+        delta = t.changes(v1)
+        out = delta.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -378,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_neardup": q_embedding_neardup,
         "cdc_time_slice": q_cdc_time_slice,
+        "cdc_changelog": q_cdc_changelog,
     }
 
 
@@ -674,6 +717,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+            GROUP BY event_type
+        """,
+        "cdc_changelog": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
             GROUP BY event_type
         """,
         "asof_join_orders": """
