@@ -86,13 +86,19 @@ def bucketed_pairs(
     killer. Buckets over `max_bucket_df` are therefore bounded:
 
       over_cap='star' (default): an over-cap bucket contributes only
-        (min-id representative, member) pairs — O(m), not O(m²). Nothing
-        is silently lost the way a plain drop loses it: downstream exact
-        verification still filters false positives, and
-        connected-components canonicalization still links the whole
-        cluster through its representative. What's elided is only the
-        explicit listing of non-representative intra-cluster pairs of
-        >cap clusters.
+        (min-id representative, member) pairs — O(m), not O(m²).
+        Downstream exact verification still filters false positives.
+        The recall trade, precisely: when the hot bucket IS a duplicate
+        cluster (the common near-dup case), the star keeps the whole
+        cluster connected through its representative, so
+        canonicalization is unaffected — only the explicit listing of
+        non-representative intra-cluster pairs is elided. When the hot
+        bucket is an INCIDENTAL collision (boilerplate chunk/band shared
+        by unrelated docs), a true pair whose ONLY shared bucket is the
+        hot one is found only if its docs also collide in another
+        band/chunk/table — the multi-bucket designs (bands, chunks,
+        tables) provide that redundancy, but it is probabilistic, not
+        guaranteed. Unconditional exactness requires max_bucket_df=None.
       over_cap='drop': drop over-cap buckets entirely. A >cap duplicate
         clique then yields NO pairs at all — opt-in only, for pipelines
         that treat hot buckets as pure stop-phrase noise.
@@ -223,6 +229,10 @@ def ngram_jaccard_pairs(
     # the (id, shingle) set feeds the df-cap agg, the per-doc sizes agg
     # and BOTH sides of the intersection self-join — persist it once
     # instead of recomputing tokenize→explode→distinct (a shuffle) 3-4×
+    # (measured 15.3s → 9.5s at sf0.1). Lifetime: released by Spark's
+    # ContextCleaner once the returned plan is garbage-collected (no
+    # in-function unpersist hook exists for a lazily returned plan);
+    # LRU eviction bounds the storage-pool footprint meanwhile.
     from pyspark import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -527,8 +537,11 @@ def simhash_near_dupes(
     Hot chunk-buckets (> max_chunk_df docs — a boilerplate corpus can
     put m docs in one (chunk, cval) bucket → m² candidates on one
     shuffle key) are bounded via over_cap, default 'star' (see
-    bucketed_pairs). The exact-pair-set claim holds whenever no bucket
-    exceeds the cap; pass max_chunk_df=None for unconditional exactness."""
+    bucketed_pairs). The LOSSLESS claim above therefore holds whenever
+    no bucket exceeds the cap (always true at the oracle's test scale);
+    over the cap, a true pair whose only shared chunk is the hot one is
+    recovered only via its other chunks — pass max_chunk_df=None for
+    unconditional exactness."""
     width = (63 if hash == "xxhash64" else 60) // chunks
     h = simhash_rows(df, id_col, text_col, hash=hash)
     # chunk indices are plain Python ints → unrolled, no lambda needed

@@ -67,8 +67,13 @@ def decode_images(df: DataFrame, real_decode: bool = False) -> DataFrame:
             if not len(pdf):
                 continue
             meta = pd.DataFrame(list(pdf["meta"]))
-            w = meta["width"].fillna(8).astype(np.int64).to_numpy()
-            h = meta["height"].fillna(8).astype(np.int64).to_numpy()
+            # null OR non-positive dims fall back to 8 (a 0-width image
+            # would make reduceat read the next image's pixels — or
+            # raise on a trailing empty offset)
+            w = meta["width"].fillna(0).astype(np.int64).to_numpy()
+            h = meta["height"].fillna(0).astype(np.int64).to_numpy()
+            w = np.where(w > 0, w, 8)
+            h = np.where(h > 0, h, 8)
             sizes = w * h
             # one decode call per payload (a real codec is the same),
             # then ONE concatenated pixel buffer for the whole Arrow

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from typing import Any
 
@@ -125,15 +126,19 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
 # Immutable per-bucket manifest files are cached by absolute path; a
 # manifest is never rewritten after commit, so the cache can't go stale.
 # FIFO-bounded so a driver replaying millions of micro-batches doesn't
-# accumulate every historical manifest in memory.
+# accumulate every historical manifest in memory. Lock-guarded: the
+# runner commits independent tables from concurrent worker threads, and
+# an unguarded evict can double-pop / hit a resize mid-iteration.
 _MANIFEST_CACHE: dict[str, list[dict]] = {}
 _MANIFEST_CACHE_MAX = 8192
+_MANIFEST_CACHE_LOCK = threading.Lock()
 
 
 def _manifest_cache_put(path: str, entries: list[dict]) -> None:
-    while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[path] = entries
+    with _MANIFEST_CACHE_LOCK:
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)), None)
+        _MANIFEST_CACHE[path] = entries
 
 
 class LakeTable:
@@ -989,6 +994,30 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _added_entries(self, prev: dict, snap: dict) -> list[dict]:
+        """File entries `snap` added relative to `prev`. Fast path: an
+        additive commit APPENDS manifest refs per bucket, so the suffix
+        manifests hold exactly the added entries — O(new files), no
+        full path-set rebuild. Buckets whose ref list was folded (or
+        legacy inline headers) fall back to a per-bucket path diff."""
+        prev_refs = prev.get("bucket_manifests")
+        refs = snap.get("bucket_manifests")
+        added: list[dict] = []
+        if prev_refs is not None and refs is not None:
+            for b, r in refs.items():
+                pr = prev_refs.get(b, [])
+                if r == pr:
+                    continue
+                if r[: len(pr)] == pr:
+                    for m in r[len(pr):]:
+                        added.extend(self._load_manifest(m))
+                else:
+                    prev_paths = {f["path"] for f in prev["buckets"].get(b, [])}
+                    added.extend(f for f in snap["buckets"][b] if f["path"] not in prev_paths)
+            return added
+        prev_paths = {f["path"] for fl in prev["buckets"].values() for f in fl}
+        return [f for fl in snap["buckets"].values() for f in fl if f["path"] not in prev_paths]
+
     # operations whose added files carry NEW logical rows (a changelog
     # entry); maintenance rewrites re-emit existing rows and are skipped
     _CHANGE_OPS = ("create", "append", "merge-mor")
@@ -1023,13 +1052,7 @@ class LakeTable:
             snap = self.snapshot(v)
             op = (snap.get("summary") or {}).get("operation", "")
             if op in self._CHANGE_OPS:
-                prev_paths = {f["path"] for fl in prev["buckets"].values() for f in fl}
-                added = [
-                    f
-                    for fl in snap["buckets"].values()
-                    for f in fl
-                    if f["path"] not in prev_paths
-                ]
+                added = self._added_entries(prev, snap)
                 if added:
                     parts.append(
                         conform(self._read_entries(added, snap), current).withColumn(
@@ -1088,7 +1111,10 @@ class LakeTable:
         ]
         target = self._read_entries(base_entries, snap)
         merged = self._cow_combine(target, deltas, keys, order_by, current)
-        new_files = self._write_files(merged, snap, snap["current_schema_id"])
+        new_files = {
+            b: [{**f, "collapsed": True} for f in fs]
+            for b, fs in self._write_files(merged, snap, snap["current_schema_id"]).items()
+        }
 
         buckets = {
             b: list(files)
@@ -1116,35 +1142,34 @@ class LakeTable:
 
     def _fold_bucketed(self, snap: dict) -> int:
         """Minor compaction for bucketed-delta MoR tables: LWW-collapse
-        every multi-file bucket. Single-file buckets are already
-        key-unique (each file is either a collapsed rewrite or one
-        pre-deduped batch — and collapsing key-unique rows is the
-        identity, so the trigger is conservative-safe). Work is
-        O(buckets touched since the last fold), not O(table)."""
-        affected = {b for b, files in snap["buckets"].items() if len(files) > 1}
+        every bucket holding a file NOT produced by a collapse. Manifest
+        entries written by a fold/compact carry ``collapsed: true`` —
+        one fold's output is key-unique across all its files, and a fold
+        rewrites its whole bucket, so an all-collapsed bucket provably
+        has no duplicate keys. A mere file-count trigger is wrong both
+        ways: a single un-collapsed file can hold several versions of a
+        key (MoR merges append batches un-deduped, and the write salt is
+        keyed, so every version of a key lands in one file — clearing
+        the flag on it would resurrect superseded/deleted rows), and a
+        collapsed bucket can legitimately span several files (day/salt
+        splits — refolding it forever would never converge). Work is
+        O(buckets touched since the last fold); once every bucket is
+        all-collapsed, needs_collapse clears and reads skip the LWW
+        aggregate."""
+        affected = {
+            b
+            for b, files in snap["buckets"].items()
+            if files and any(not f.get("collapsed") for f in files)
+        }
         if not affected:
-            # nothing to rewrite, but clear the flag so reads stop
-            # paying the per-read collapse
-            payload = {
-                **self._carry(snap),
-                "needs_collapse": False,
-                "schemas": snap["schemas"],
-                "current_schema_id": snap["current_schema_id"],
-                "buckets": {b: list(fs) for b, fs in snap["buckets"].items()},
-                "checkpoint": snap.get("checkpoint"),
-                "lineage": [],
-                "summary": {
-                    "operation": "compact-deltas",
-                    "delta_files": 0,
-                    "affected_buckets": [],
-                },
-            }
-            return self._commit(
-                lambda base: dict(payload), rebaseable=False, expected_base=snap["version"]
-            )
+            # fully folded already; reads' collapse flag state is final
+            return snap["version"]
         entries = [f for b in affected for f in snap["buckets"][b]]
         folded = self._collapse(self._read_entries(entries, snap), snap)
-        new_files = self._write_files(folded, snap, snap["current_schema_id"])
+        new_files = {
+            b: [{**f, "collapsed": True} for f in fs]
+            for b, fs in self._write_files(folded, snap, snap["current_schema_id"]).items()
+        }
         buckets = {
             b: list(fs) for b, fs in snap["buckets"].items() if b not in affected
         }
@@ -1152,6 +1177,7 @@ class LakeTable:
             buckets[b] = fs
         payload = {
             **self._carry(snap),
+            # every bucket is now all-collapsed → key-unique table
             "needs_collapse": False,
             "schemas": snap["schemas"],
             "current_schema_id": snap["current_schema_id"],
@@ -1189,7 +1215,12 @@ class LakeTable:
     def _rewrite_all(self, df: DataFrame, operation: str) -> int:
         snap = self.snapshot()
         sid = snap["current_schema_id"]
-        new_files = self._write_files(df, snap, sid)
+        # a full rewrite's output is key-unique — mark it so the
+        # bucketed-delta minor fold (_fold_bucketed) skips these files
+        new_files = {
+            b: [{**f, "collapsed": True} for f in fs]
+            for b, fs in self._write_files(df, snap, sid).items()
+        }
         payload = {
             **self._carry(snap),
             "needs_collapse": False,  # a full rewrite always collapses
@@ -1203,38 +1234,70 @@ class LakeTable:
         # full rewrite of the base read at `snap` — same lost-update rule
         return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
         """Delete data files unreferenced by the last `keep_last`
         snapshots (orphans from crashes + expired versions), and expire
         the metadata of the vacuumed versions (Iceberg expire_snapshots)
         — history()/time travel then only resolve retained versions, and
         read(version=expired) fails with a clear error instead of
-        scanning unlinked paths."""
+        scanning unlinked paths.
+
+        `orphan_grace_s`: an IN-FLIGHT commit writes its data files and
+        manifests BEFORE claiming the version header, so a concurrent
+        vacuum would see them as unreferenced and delete them out from
+        under the commit (which then claims a header pointing at missing
+        files). Files referenced by the versions being expired are
+        deleted regardless of age (provably dead); files referenced by
+        NOTHING are deleted only when older than the grace window —
+        Iceberg's orphan-file age threshold. Pass 0 only when no
+        concurrent writer can exist."""
+        import time as _time
+
         cur = self.current_version()
         if cur is None:
             return []
         horizon = max(0, cur - keep_last + 1)
+        expiring = [v for v in self.versions() if v < horizon]
         keep = [v for v in self.versions() if v >= horizon]
         live: set[str] = set()
         for v in keep:
             snap = self.snapshot(v)
             for files in snap["buckets"].values():
                 live.update(f["path"] for f in files)
+        # paths/manifests referenced ONLY by expiring versions are dead
+        # no matter how young; collect them before their headers go
+        dead_paths: set[str] = set()
+        dead_manifests: set[str] = set()
+        for v in expiring:
+            snap = self.snapshot(v)
+            for files in snap["buckets"].values():
+                dead_paths.update(f["path"] for f in files)
+            for refs in snap.get("bucket_manifests", {}).values():
+                dead_manifests.update(refs)
+        now = _time.time()
+
+        def expendable(full: str, rel_or_name: str, dead: set[str]) -> bool:
+            if rel_or_name in dead:
+                return True
+            try:
+                return now - self.storage.mtime(full) > orphan_grace_s
+            except OSError:
+                return False
+
         removed = []
         data_root = os.path.join(self.root, self.DATA)
         if self.storage.isdir(data_root):
             for full in list(self.storage.walk_files(data_root)):
                 rel = os.path.relpath(full, self.root)
-                if full.endswith(".parquet") and rel not in live:
+                if full.endswith(".parquet") and rel not in live and expendable(full, rel, dead_paths):
                     self.storage.delete(full)
                     removed.append(rel)
         self.storage.cleanup_empty_dirs(data_root)
         # expire metadata of versions whose files are now gone
-        for v in self.versions():
-            if v < horizon:
-                self.storage.delete(os.path.join(self._meta_dir(), f"v{v:08d}.json"))
+        for v in expiring:
+            self.storage.delete(os.path.join(self._meta_dir(), f"v{v:08d}.json"))
         # drop manifest files unreferenced by any retained snapshot
-        # (expired versions + orphans from lost commit races)
+        # (expired versions + aged orphans from lost commit races)
         live_manifests: set[str] = set()
         for v in self.versions():
             for refs in self.snapshot(v).get("bucket_manifests", {}).values():
@@ -1242,6 +1305,8 @@ class LakeTable:
         for fn in self.storage.listdir(self._meta_dir()):
             if fn.startswith("m-") and fn.endswith(".json") and fn not in live_manifests:
                 path = os.path.join(self._meta_dir(), fn)
-                self.storage.delete(path)
-                _MANIFEST_CACHE.pop(path, None)
+                if expendable(path, fn, dead_manifests):
+                    self.storage.delete(path)
+                    with _MANIFEST_CACHE_LOCK:
+                        _MANIFEST_CACHE.pop(path, None)
         return removed

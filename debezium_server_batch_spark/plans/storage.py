@@ -77,6 +77,11 @@ class PosixStorage:
     def delete(self, path: str) -> None:
         os.unlink(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modified epoch seconds (object stores expose this as the
+        object's LastModified)."""
+        return os.path.getmtime(path)
+
     def walk_files(self, root: str) -> Iterator[str]:
         for dirpath, _dirs, files in os.walk(root):
             for fn in files:

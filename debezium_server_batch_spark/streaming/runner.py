@@ -263,6 +263,10 @@ class CdcPipeline:
                     # minor compaction: fold outstanding deltas into the
                     # bucket layout without rewriting untouched buckets
                     t.compact_deltas()
+            # let offset-aware wait strategies (pending_fn /
+            # snapshot_running_fn closures) probe from the consumed
+            # position instead of the log head
+            self.wait.consumed_offset = hi
             self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
         stats.elapsed_s = time.monotonic() - t_run

@@ -108,13 +108,21 @@ def main(argv: list[str] | None = None) -> int:
                 from debezium_server_batch_spark.sources.event_log import EventLogSource
 
                 src = EventLogSource(spark, args.log)
+                # both probes track the consumed position (the runner
+                # updates wait.consumed_offset after every window) —
+                # probing from offset 0 would freeze them at the log
+                # head's state for the whole replay
                 wait = wait_cls(
-                    pending_fn=lambda: src.pending_count(0),
+                    pending_fn=lambda: src.pending_count(
+                        getattr(wait, "consumed_offset", 0)
+                    ),
                     max_batch_size=args.max_batch_size,
                     max_wait_ms=args.max_wait_ms,
-                    # skip waits while the log tail is snapshot-phase load
-                    # (__op='r'), like the reference's JMX-driven gate
-                    snapshot_running_fn=lambda: src.snapshot_running(0),
+                    # skip waits while the upcoming tail is snapshot-phase
+                    # load (__op='r'), like the reference's JMX-driven gate
+                    snapshot_running_fn=lambda: src.snapshot_running(
+                        getattr(wait, "consumed_offset", 0)
+                    ),
                 )
             else:
                 wait = wait_cls()

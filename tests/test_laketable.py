@@ -479,7 +479,9 @@ def test_transient_write_failure_retries_exactly_once(spark, tmp_path):
         del t._write_files_once
     assert calls["n"] == 2  # failed once, retried once
     assert sorted(r["url"] for r in t.read().collect()) == ["a", "b"]  # exactly once
-    orphans = t.vacuum(keep_last=10)  # keep all snapshots: only orphans go
+    # keep all snapshots: only the failed attempt's orphans go (grace 0:
+    # no concurrent writer in this test)
+    orphans = t.vacuum(keep_last=10, orphan_grace_s=0.0)
     assert orphans  # first attempt's unreferenced files reclaimed
     assert sorted(r["url"] for r in t.read().collect()) == ["a", "b"]
 
@@ -617,10 +619,46 @@ def test_compact_deltas_folds_bucketed_layout(spark, tmp_path):
     v = t.compact_deltas()
     snap = t.snapshot()
     assert snap["version"] == v
+    # every bucket held un-collapsed files → full fold → flag clears
     assert snap["needs_collapse"] is False
     assert sum(len(fl) for fl in snap["buckets"].values()) < n_files_before
     assert sorted(tuple(r) for r in t.read().collect()) == expect
     assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "t1"
     assert "u1" not in {r["url"] for r in t.read().collect()}
-    # second call: nothing left to fold, version stable or flag-only
+    # second call: nothing left to fold → no-op, version stable (the
+    # collapsed-file tags stop a refold of day/salt-split outputs)
     assert t.compact_deltas() == snap["version"]
+    # steady state is O(touched): a 1-key merge folds only its bucket
+    t.merge(_batch(spark, [("u0", "t2", 200, False)]))
+    t.compact_deltas()
+    snap = t.snapshot()
+    assert len(snap["summary"]["affected_buckets"]) == 1
+    assert snap["needs_collapse"] is False
+    assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "t2"
+
+
+def test_bucketed_fold_does_not_resurrect_intra_file_duplicates(spark, tmp_path):
+    """Regression (r3 review): a bucketed-delta MoR merge appends its
+    batch UN-deduped, and the write salt is keyed — so one file can
+    carry several versions of a key (incl. a tombstone). compact_deltas
+    must not clear needs_collapse for such single-file buckets: reads
+    after the fold must still LWW-collapse them."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "bkd"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="bucketed",
+    )
+    # ONE merge with two versions of 'a' and a delete-after-insert of 'b'
+    t.merge(_batch(spark, [
+        ("a", "old", 1, False), ("a", "new", 2, False),
+        ("b", "live", 3, False), ("b", None, 4, True),
+    ]))
+    t.compact_deltas()
+    rows = {r["url"]: r["text"] for r in t.read().collect()}
+    assert rows == {"a": "new"}  # no duplicate 'a', no resurrected 'b'
+    # the fold itself collapsed the intra-file duplicates, so the flag
+    # may clear — but only because the duplicate file WAS rewritten
+    raw = {(r["url"], r["__lsn"]) for r in t._read_raw().collect()}
+    assert raw == {("a", 2), ("b", 4)}  # old versions physically folded away
+    t.compact()
+    assert t.snapshot()["needs_collapse"] is False
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "new"}
