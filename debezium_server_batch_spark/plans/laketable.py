@@ -551,6 +551,40 @@ class LakeTable:
             .select(*[F.col(f"_m._row.{c}").alias(c) for c in cols])
         )
 
+    def read_keys(self, keys: list, version: int | None = None) -> DataFrame:
+        """Point lookup: current live rows for the given key values.
+
+        Computes each key's hash bucket DRIVER-SIDE (same xxhash64/pmod
+        the layout uses, evaluated through a tiny local DataFrame so the
+        hash is bit-identical to the write path) and scans only those
+        buckets — O(|keys|/num_buckets of the table) files instead of a
+        full scan, the lookup shape a 10^10-row serving layer needs.
+        Composite keys: pass tuples in key-column order."""
+        snap = self.snapshot(version)
+        key_cols = self._key_cols(snap)
+        rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+        if not rows:
+            return self.spark.createDataFrame([], self.schema(snap))
+        kdf = self.spark.createDataFrame(
+            rows,
+            T.StructType([self.schema(snap)[c] for c in key_cols]),
+        )
+        wanted = sorted(
+            {r[0] for r in kdf.select(self._bucket_expr(snap).alias("_b")).distinct().collect()}
+        )
+        df = self.read(version=version, buckets=[int(b) for b in wanted])
+        if len(rows) > 64:
+            # large key lists: broadcast semi-join beats a giant OR chain
+            return df.join(F.broadcast(kdf), on=key_cols, how="left_semi")
+        cond = None
+        for k in rows:
+            row_eq = None
+            for c, v in zip(key_cols, k):
+                eq = F.col(c) == F.lit(v)
+                row_eq = eq if row_eq is None else (row_eq & eq)
+            cond = row_eq if cond is None else (cond | row_eq)
+        return df.filter(cond)
+
     def file_entries(
         self,
         version: int | None = None,

@@ -411,6 +411,28 @@ def test_compact_deltas_incremental(spark, tmp_path):
     assert t.compact_deltas() == v
 
 
+def test_read_keys_point_lookup_prunes_buckets(spark, tmp_path):
+    """read_keys scans only the looked-up keys' hash buckets (file-level
+    pruning asserted via inputFiles) and returns exactly the live rows —
+    the O(1/num_buckets) serving-layer lookup shape."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pk"), SCHEMA, key_col="url", num_buckets=8,
+        order_by=("__lsn",),
+    )
+    t.merge(_batch(spark, [(f"u{i}", f"t{i}", i, False) for i in range(40)]))
+    t.merge(_batch(spark, [("u0", "t-new", 100, False), ("u1", None, 101, True)]))
+
+    got = {r["url"]: r["text"] for r in t.read_keys(["u0", "u1", "u2"]).collect()}
+    assert got == {"u0": "t-new", "u2": "t2"}  # LWW applied, tombstone filtered
+    # pruning: the lookup reads fewer files than a full scan
+    assert len(t.read_keys(["u0"]).inputFiles()) < len(t.read().inputFiles())
+    # large key list takes the semi-join path, same answers
+    many = [f"u{i}" for i in range(100)]
+    got_many = {r["url"] for r in t.read_keys(many).collect()}
+    assert got_many == {f"u{i}" for i in range(40) if i != 1}
+    assert t.read_keys([]).count() == 0
+
+
 def test_changes_incremental_changelog(spark, tmp_path):
     """changes(since) returns exactly the rows landed by commits after
     `since` (metadata file-diff, tombstones included, maintenance
