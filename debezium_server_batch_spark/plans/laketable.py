@@ -1145,9 +1145,15 @@ class LakeTable:
         ]
         target = self._read_entries(base_entries, snap)
         merged = self._cow_combine(target, deltas, keys, order_by, current)
+        # rows_hint (manifest row counts, an upper bound) caps the
+        # salted writer fan-out — an unhinted fold shatters small
+        # outputs into 2P files across bucket×day dirs
+        fold_rows = sum(f["rows"] for f in base_entries) + sum(f["rows"] for f in star)
         new_files = {
             b: [{**f, "collapsed": True} for f in fs]
-            for b, fs in self._write_files(merged, snap, snap["current_schema_id"]).items()
+            for b, fs in self._write_files(
+                merged, snap, snap["current_schema_id"], rows_hint=fold_rows
+            ).items()
         }
 
         buckets = {
@@ -1202,7 +1208,12 @@ class LakeTable:
         folded = self._collapse(self._read_entries(entries, snap), snap)
         new_files = {
             b: [{**f, "collapsed": True} for f in fs]
-            for b, fs in self._write_files(folded, snap, snap["current_schema_id"]).items()
+            for b, fs in self._write_files(
+                folded,
+                snap,
+                snap["current_schema_id"],
+                rows_hint=sum(f["rows"] for f in entries),
+            ).items()
         }
         buckets = {
             b: list(fs) for b, fs in snap["buckets"].items() if b not in affected
@@ -1250,10 +1261,13 @@ class LakeTable:
         snap = self.snapshot()
         sid = snap["current_schema_id"]
         # a full rewrite's output is key-unique — mark it so the
-        # bucketed-delta minor fold (_fold_bucketed) skips these files
+        # bucketed-delta minor fold (_fold_bucketed) skips these files.
+        # rows_hint (manifest counts) keeps writer fan-out proportional
+        # to the data: ~50k+ rows per write task at any table size
+        total = sum(f["rows"] for fl in snap["buckets"].values() for f in fl)
         new_files = {
             b: [{**f, "collapsed": True} for f in fs]
-            for b, fs in self._write_files(df, snap, sid).items()
+            for b, fs in self._write_files(df, snap, sid, rows_hint=total or None).items()
         }
         payload = {
             **self._carry(snap),
