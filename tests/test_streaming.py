@@ -52,3 +52,59 @@ def test_stream_restart_is_noop(spark, log_path, tmp_path):
     q2 = start_stream(spark, cfg, checkpoint_dir=ckpt)  # restart, nothing new
     q2.awaitTermination(timeout=300)
     assert _final(spark, root) == state
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emit
+    exactly once — inline when a same-key event arrives past the gap,
+    by event-time timeout when the watermark passes the gap deadline.
+    Sessions still open at end-of-stream are (correctly) not emitted."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(src / name), coerce_timestamps="us")
+        _time.sleep(0.05)  # deterministic file-source ordering by mtime
+
+    d = "2024-03-01 "
+    write_file("f0.parquet", [(1, d + "10:00"), (1, d + "10:05"), (1, d + "10:10"), (2, d + "10:00")])
+    write_file("f1.parquet", [(1, d + "13:00"), (2, d + "13:00")])  # >30min gaps close inline
+    write_file("f2.parquet", [(2, d + "16:00")])  # advances watermark; closes u2@13:00 inline
+    write_file("f3.parquet", [(3, d + "19:00")])  # watermark passes u1@13:00's deadline → timeout
+
+    stream = spark.readStream.schema("user_id long, ts timestamp_ntz").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    sessions = streaming_sessionize(stream, gap_minutes=30.0, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    expect = {
+        (1, "2024-03-01 10:00:00", "2024-03-01 10:10:00", 3),  # inline (13:00 arrival)
+        (2, "2024-03-01 10:00:00", "2024-03-01 10:00:00", 1),  # inline (13:00 arrival)
+        (2, "2024-03-01 13:00:00", "2024-03-01 13:00:00", 1),  # inline (16:00 arrival)
+        (1, "2024-03-01 13:00:00", "2024-03-01 13:00:00", 1),  # TIMEOUT (wm 18:30 > 13:30)
+        (2, "2024-03-01 16:00:00", "2024-03-01 16:00:00", 1),  # TIMEOUT (wm 18:30 > 16:30)
+    }
+    assert got == expect
+    # u3@19:00 stays open (its 19:30 deadline is past the final 18:30
+    # watermark) and is correctly NOT emitted — a longer stream closes it
