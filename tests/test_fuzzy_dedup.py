@@ -274,3 +274,42 @@ def test_prefix_filter_is_exact(spark):
             for r in ngram_jaccard_pairs(docs, shingle_k=3, threshold=t, prefix_filter=False).collect()
         }
         assert on == off and (t > 0.2 or on)  # lossless, and non-trivial at low t
+
+
+def test_bucketed_pairs_invariants(spark):
+    """Invariants of the shared LSH candidate core on a seeded random
+    multi-bucket layout, against a local reference: uncapped output is
+    exactly the per-bucket all-pairs set; capped star output is a subset
+    of it but still links every over-cap bucket through its min-id
+    representative; drop ⊆ star; a generous cap equals uncapped."""
+    import random
+    from collections import defaultdict
+
+    from debezium_server_batch_spark.operators.dedup_fuzzy import bucketed_pairs
+
+    random.seed(11)
+    rows = []
+    for b in range(6):
+        for m in random.sample(range(100), random.choice([1, 2, 3, 8, 15])):
+            rows.append((m, b))
+    df = spark.createDataFrame(rows, "id long, bkt long")
+
+    def pairs(mode, cap):
+        out = bucketed_pairs(df, ["bkt"], (), cap, mode)
+        return {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+    byb = defaultdict(set)
+    for i, b in rows:
+        byb[b].add(i)
+    ref_full = {(a, c) for mem in byb.values() for a in mem for c in mem if a < c}
+
+    full = pairs("star", None)
+    assert full == ref_full
+    cap = 5
+    star, drop = pairs("star", cap), pairs("drop", cap)
+    assert star <= full and drop <= star
+    for mem in byb.values():
+        if len(mem) > cap:
+            rep = min(mem)
+            assert {(rep, m) for m in mem if m != rep} <= star  # cluster stays connected
+    assert pairs("star", 1000) == ref_full  # generous cap is a no-op
