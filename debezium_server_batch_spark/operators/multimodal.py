@@ -1,11 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow `mapInPandas` batches.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes clearly marked below; `real_decode=True`
-raises NotImplementedError). Everything Spark-side — schemas, UDF
-signatures, Arrow batch shapes, partitioning — is real and tested, so
-swapping in Pillow/ffmpeg later changes only the kernel body.
+Decode status, honestly:
+  * REAL, no external codec needed: uncompressed 24-bit BMP and binary
+    PPM images (header parsing + numpy), RIFF/WAV PCM audio (stdlib
+    `wave` + numpy) — exact dimensions/means/RMS, pytest-checked
+    against hand-built files.
+  * FAKE (deterministic, clearly marked): everything that needs a codec
+    library this container lacks (jpeg/png, mp3/ogg, all video).
+    `real_decode=True` makes those raise NotImplementedError instead.
+Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
+partitioning — is real and tested, so swapping in Pillow/ffmpeg later
+changes only the per-format branch of the kernel.
 """
 
 from __future__ import annotations
@@ -54,34 +60,105 @@ def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
     return np.frombuffer(buf[:n], dtype=np.uint8)
 
 
+def _decode_bmp(b: bytes):
+    """REAL decode of uncompressed 24-bit BMP (pure header parsing +
+    numpy — no codec library needed). Returns (width, height, pixels as
+    flat uint8) or None if not a BMP."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    row_bytes = (w * 3 + 3) // 4 * 4  # rows padded to 4 bytes
+    arr = np.frombuffer(b, np.uint8, row_bytes * abs(h), data_off).reshape(abs(h), row_bytes)
+    arr = arr[:, : w * 3]
+    if h > 0:
+        arr = arr[::-1]  # positive height = bottom-up row order
+    return w, abs(h), arr.reshape(-1)
+
+
+def _decode_ppm(b: bytes):
+    """REAL decode of binary PPM (P6). Returns (w, h, flat uint8 pixels)
+    or None if not a PPM."""
+    if not b.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = parts
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return w, h, np.frombuffer(b, np.uint8, w * h * 3, i)
+
+
+def _real_or_fake_pixels(payload: bytes, meta_w: int, meta_h: int, strict: bool):
+    """Dispatch: REAL decode for self-describing uncompressed formats
+    (BMP, PPM — no codec dependency), deterministic fake otherwise.
+    strict=True (real_decode) raises on formats that need a codec."""
+    for dec in (_decode_bmp, _decode_ppm):
+        out = dec(payload)
+        if out is not None:
+            return out
+    if strict:
+        raise NotImplementedError(
+            "compressed image codecs (jpeg/png) are not installed in this container; "
+            "uncompressed BMP/PPM decode IS real — see _decode_bmp/_decode_ppm"
+        )
+    return meta_w, meta_h, _fake_pixels(payload, meta_w * meta_h)
+
+
 DECODED_SCHEMA = "media_id long, width int, height int, mean_intensity double"
 
 
 def decode_images(df: DataFrame, real_decode: bool = False) -> DataFrame:
-    """binary → decoded stats, Arrow batch at a time (mapInPandas)."""
+    """binary → decoded stats, Arrow batch at a time (mapInPandas).
+
+    Self-describing uncompressed formats (24-bit BMP, binary PPM) are
+    REALLY decoded — pure header parsing + numpy, no codec library.
+    Other payloads use the deterministic fake; real_decode=True makes
+    them raise instead (jpeg/png need codecs this container lacks)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real_decode:
-            raise NotImplementedError("real image codecs are not installed in this container")
         for pdf in batches:
             if not len(pdf):
                 continue
             meta = pd.DataFrame(list(pdf["meta"]))
-            # null OR non-positive dims fall back to 8 (a 0-width image
-            # would make reduceat read the next image's pixels — or
-            # raise on a trailing empty offset)
-            w = meta["width"].fillna(0).astype(np.int64).to_numpy()
-            h = meta["height"].fillna(0).astype(np.int64).to_numpy()
-            w = np.where(w > 0, w, 8)
-            h = np.where(h > 0, h, 8)
-            sizes = w * h
+            # null OR non-positive meta dims fall back to 8 (a 0-width
+            # fake image would make reduceat read the next image's
+            # pixels — or raise on a trailing empty offset)
+            mw = meta["width"].fillna(0).astype(np.int64).to_numpy()
+            mh = meta["height"].fillna(0).astype(np.int64).to_numpy()
+            mw = np.where(mw > 0, mw, 8)
+            mh = np.where(mh > 0, mh, 8)
             # one decode call per payload (a real codec is the same),
             # then ONE concatenated pixel buffer for the whole Arrow
             # batch with vectorized per-image means (np.add.reduceat) —
             # no per-row Python stats/assembly
-            buf = np.concatenate(
-                [_fake_pixels(bytes(p), n) for p, n in zip(pdf["payload"], sizes)]
-            ).astype(np.float64)
+            decoded = [
+                _real_or_fake_pixels(bytes(p), int(wi), int(hi), real_decode)
+                for p, wi, hi in zip(pdf["payload"], mw, mh)
+            ]
+            w = np.array([d[0] for d in decoded], dtype=np.int64)
+            h = np.array([d[1] for d in decoded], dtype=np.int64)
+            sizes = np.array([len(d[2]) for d in decoded], dtype=np.int64)
+            buf = np.concatenate([d[2] for d in decoded]).astype(np.float64)
             offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
             means = np.add.reduceat(buf, offsets) / sizes
             yield pd.DataFrame(
@@ -119,6 +196,58 @@ def make_feature_extract_udf(dim: int = 16, real_decode: bool = False):
         return pd.Series(out)
 
     return extract
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms double, rms double"
+)
+
+
+def audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """binary → audio stats (sample rate, channels, duration, RMS of the
+    PCM signal), Arrow batch at a time.
+
+    RIFF/WAV payloads are REALLY decoded — stdlib `wave` + numpy over
+    the PCM frames, no codec library. Other payloads use a
+    deterministic fake (sha-derived pseudo-PCM at 16 kHz mono);
+    real_decode=True makes them raise instead (mp3/ogg need codecs)."""
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in ("media_id", "sample_rate", "n_channels", "n_samples", "duration_ms", "rms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    with wave.open(io.BytesIO(b)) as wf:
+                        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+                        raw = wf.readframes(wf.getnframes())
+                    if width != 2:
+                        raise NotImplementedError("only 16-bit PCM WAV supported")
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    n = len(pcm) // nch
+                elif real_decode:
+                    raise NotImplementedError(
+                        "compressed audio codecs (mp3/ogg) are not installed; "
+                        "RIFF/WAV PCM decode IS real"
+                    )
+                else:
+                    rate, nch = 16_000, 1
+                    n = 1024
+                    pcm = _fake_pixels(b, n).astype(np.float64) * 256.0 - 32768.0
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000.0 / rate)
+                rows["rms"].append(float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(kernel, AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_hash long"

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from debezium_server_batch_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_images,
     make_feature_extract_udf,
     sample_frames,
@@ -54,3 +55,66 @@ def test_sample_frames(media):
     assert per_vid and set(per_vid) == set(durations)
     for mid, n in per_vid.items():
         assert n == durations[mid] // 1000
+
+
+def _bmp_24(width, height, bgr_rows):
+    """Minimal uncompressed 24-bit BMP (bottom-up) from a row-major list
+    of (b, g, r) pixel tuples."""
+    import struct
+
+    row_bytes = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - width * 3)
+    body = b"".join(
+        b"".join(bytes(px) for px in bgr_rows[y]) + pad for y in range(height - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def test_decode_images_real_bmp_and_ppm(spark):
+    """BMP/PPM payloads are REALLY decoded (header parsing + numpy, no
+    codec library): dimensions come from the file, means are exact."""
+    bmp = _bmp_24(2, 2, [[(0, 0, 0), (255, 255, 255)], [(10, 20, 30), (40, 50, 60)]])
+    ppm = b"P6\n# comment\n3 1\n255\n" + bytes([0, 0, 0, 90, 90, 90, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, "image", bmp, (99, 99, None, "bmp")), (2, "image", ppm, (99, 99, None, "ppm"))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_images(df, real_decode=True).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)  # from the file, not meta
+    assert rows[1]["mean_intensity"] == pytest.approx((0 + 255 * 3 + 10 + 20 + 30 + 40 + 50 + 60) / 12)
+    assert (rows[2]["width"], rows[2]["height"]) == (3, 1)
+    assert rows[2]["mean_intensity"] == pytest.approx((0 * 3 + 90 * 3 + 255 * 3) / 9)
+
+
+def test_audio_features_real_wav(spark):
+    """RIFF/WAV payloads are REALLY decoded via the stdlib wave module:
+    rate/channels/duration/RMS are exact; non-WAV falls back to the
+    deterministic fake (or raises under real_decode)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from debezium_server_batch_spark.operators.multimodal import audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<4h", 1000, -1000, 1000, -1000))
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "audio", wav, (None, None, None, "wav")), (2, "audio", b"not-audio", (None, None, None, "?"))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_channels"] == 1
+    assert rows[1]["n_samples"] == 4 and rows[1]["duration_ms"] == pytest.approx(0.5)
+    assert rows[1]["rms"] == pytest.approx(1000.0)
+    assert rows[2]["sample_rate"] == 16000  # deterministic fake path
+    assert math.isfinite(rows[2]["rms"])
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        audio_features(df, real_decode=True).collect()
