@@ -468,6 +468,27 @@ def test_changes_incremental_changelog(spark, tmp_path):
         c.changes(cv - 1)
 
 
+def test_changes_after_vacuum_fails_clearly(spark, tmp_path):
+    """changes() over a range whose snapshots were expired by vacuum
+    raises the expired-version FileNotFoundError instead of returning a
+    partial changelog — consumers must re-sync from a full read."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "cv"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False)]))
+    v1 = t.current_version()
+    t.merge(_batch(spark, [("b", "t1", 2, False)]))
+    t.compact()
+    t.vacuum(keep_last=1, orphan_grace_s=0.0)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.changes(v1)
+    # a still-retained range keeps working
+    v = t.current_version()
+    t.merge(_batch(spark, [("c", "t1", 3, False)]))
+    assert {r["url"] for r in t.changes(v).collect()} == {"c"}
+
+
 def test_transient_write_failure_retries_exactly_once(spark, tmp_path):
     """Injected fault: the first write attempt really lands files, then
     fails 'transiently'. The bounded retry must land the window EXACTLY
