@@ -111,10 +111,20 @@ def _decode_ppm(b: bytes):
 def _real_or_fake_pixels(payload: bytes, meta_w: int, meta_h: int, strict: bool):
     """Dispatch: REAL decode for self-describing uncompressed formats
     (BMP, PPM — no codec dependency), deterministic fake otherwise.
-    strict=True (real_decode) raises on formats that need a codec."""
+    strict=True (real_decode) PROPAGATES decode errors and raises on
+    formats that need a codec; strict=False never fails — a malformed
+    or zero-area payload that merely sniffs like BMP/PPM falls back to
+    the fake (one bad row must not kill the Spark task)."""
     for dec in (_decode_bmp, _decode_ppm):
-        out = dec(payload)
+        try:
+            out = dec(payload)
+        except Exception:
+            if strict:
+                raise
+            out = None
         if out is not None:
+            if len(out[2]) == 0 and not strict:
+                break  # zero-area image: fake fallback below
             return out
     if strict:
         raise NotImplementedError(
@@ -159,8 +169,13 @@ def decode_images(df: DataFrame, real_decode: bool = False) -> DataFrame:
             h = np.array([d[1] for d in decoded], dtype=np.int64)
             sizes = np.array([len(d[2]) for d in decoded], dtype=np.int64)
             buf = np.concatenate([d[2] for d in decoded]).astype(np.float64)
-            offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            means = np.add.reduceat(buf, offsets) / sizes
+            # zero-safe vectorized segment means (reduceat mis-handles
+            # empty segments: wrong neighbor values mid-batch, IndexError
+            # at the end): prefix sums + boundary differences
+            csum = np.concatenate(([0.0], np.cumsum(buf)))
+            ends = np.cumsum(sizes)
+            sums = csum[ends] - csum[ends - sizes]
+            means = np.where(sizes > 0, sums / np.maximum(sizes, 1), np.nan)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -222,14 +237,28 @@ def audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
             rows = {k: [] for k in ("media_id", "sample_rate", "n_channels", "n_samples", "duration_ms", "rms")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                decoded = None
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    with wave.open(io.BytesIO(b)) as wf:
-                        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-                        raw = wf.readframes(wf.getnframes())
-                    if width != 2:
-                        raise NotImplementedError("only 16-bit PCM WAV supported")
-                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    n = len(pcm) // nch
+                    try:
+                        with wave.open(io.BytesIO(b)) as wf:
+                            rate, nch, width = (
+                                wf.getframerate(),
+                                wf.getnchannels(),
+                                wf.getsampwidth(),
+                            )
+                            raw = wf.readframes(wf.getnframes())
+                        if width != 2:
+                            raise NotImplementedError("only 16-bit PCM WAV supported")
+                        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                        decoded = (rate, nch, len(pcm) // max(nch, 1), pcm)
+                    except Exception:
+                        # malformed/unsupported RIFF: strict mode surfaces
+                        # it, non-strict falls through to the fake (one bad
+                        # row must not kill the task)
+                        if real_decode:
+                            raise
+                if decoded is not None:
+                    rate, nch, n, pcm = decoded
                 elif real_decode:
                     raise NotImplementedError(
                         "compressed audio codecs (mp3/ogg) are not installed; "

@@ -1195,15 +1195,40 @@ class LakeTable:
         splits — refolding it forever would never converge). Work is
         O(buckets touched since the last fold); once every bucket is
         all-collapsed, needs_collapse clears and reads skip the LWW
-        aggregate."""
+        aggregate. One caveat: tables written before the tag existed
+        have no `collapsed` entries, so their FIRST fold rewrites every
+        bucket (one-time O(table) migration; subsequent folds are
+        O(touched))."""
         affected = {
             b
             for b, files in snap["buckets"].items()
             if files and any(not f.get("collapsed") for f in files)
         }
         if not affected:
-            # fully folded already; reads' collapse flag state is final
-            return snap["version"]
+            # every file is collapse-produced → table is key-unique. If
+            # the flag is still set (e.g. an empty-batch merge set it
+            # without landing files), clear it with a metadata-only
+            # commit so reads stop paying the LWW aggregate and
+            # days-ranged reads regain file-level pruning.
+            if not snap.get("needs_collapse"):
+                return snap["version"]
+            payload = {
+                **self._carry(snap),
+                "needs_collapse": False,
+                "schemas": snap["schemas"],
+                "current_schema_id": snap["current_schema_id"],
+                "buckets": {b: list(fs) for b, fs in snap["buckets"].items()},
+                "checkpoint": snap.get("checkpoint"),
+                "lineage": [],
+                "summary": {
+                    "operation": "compact-deltas",
+                    "delta_files": 0,
+                    "affected_buckets": [],
+                },
+            }
+            return self._commit(
+                lambda base: dict(payload), rebaseable=False, expected_base=snap["version"]
+            )
         entries = [f for b in affected for f in snap["buckets"][b]]
         folded = self._collapse(self._read_entries(entries, snap), snap)
         new_files = {
@@ -1340,7 +1365,7 @@ class LakeTable:
                 if full.endswith(".parquet") and rel not in live and expendable(full, rel, dead_paths):
                     self.storage.delete(full)
                     removed.append(rel)
-        self.storage.cleanup_empty_dirs(data_root)
+        self.storage.cleanup_empty_dirs(data_root, min_age_s=orphan_grace_s)
         # expire metadata of versions whose files are now gone
         for v in expiring:
             self.storage.delete(os.path.join(self._meta_dir(), f"v{v:08d}.json"))

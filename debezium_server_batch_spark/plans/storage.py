@@ -87,14 +87,26 @@ class PosixStorage:
             for fn in files:
                 yield os.path.join(dirpath, fn)
 
-    def cleanup_empty_dirs(self, root: str) -> None:
+    def cleanup_empty_dirs(self, root: str, min_age_s: float = 0.0) -> None:
         """Remove now-empty subtrees (object stores have no directories —
-        their impls no-op this)."""
+        their impls no-op this). Subtrees younger than `min_age_s` are
+        kept: an in-flight commit creates its output dir before any task
+        flushes a file, and rmtree-ing it mid-write fails the writer."""
+        import time as _time
+
         if not os.path.isdir(root):
             return
+        now = _time.time()
         for entry in list(os.listdir(root)):
             full = os.path.join(root, entry)
-            if os.path.isdir(full) and not any(files for _, _, files in os.walk(full)):
+            if not os.path.isdir(full):
+                continue
+            try:
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+            except OSError:
+                continue
+            if not any(files for _, _, files in os.walk(full)):
                 shutil.rmtree(full, ignore_errors=True)
 
 

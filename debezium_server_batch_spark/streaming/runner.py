@@ -265,9 +265,14 @@ class CdcPipeline:
                     t.compact_deltas()
             # let offset-aware wait strategies (pending_fn /
             # snapshot_running_fn closures) probe from the consumed
-            # position instead of the log head
+            # position instead of the log head. Skip the wait entirely
+            # once the bounded log is drained — MaxBatchSizeWait would
+            # otherwise poll an empty tail for its full max_wait before
+            # the loop exits (its purpose is waiting for MORE data,
+            # which a drained replay will never get).
             self.wait.consumed_offset = hi
-            self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
+            if last < max_offset:
+                self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
         stats.elapsed_s = time.monotonic() - t_run
         return stats

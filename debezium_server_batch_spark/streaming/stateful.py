@@ -21,10 +21,17 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 
-SESSION_SCHEMA = (
-    "user_id long, session_start timestamp, session_end timestamp, n_events long"
-)
 _STATE_SCHEMA = "start long, end long, n long"  # epoch ms bounds + count
+
+
+def _session_schema(key_type: str) -> str:
+    return (
+        f"user_id {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+
+
+SESSION_SCHEMA = _session_schema("long")  # the common events-table shape
 
 
 def streaming_sessionize(
@@ -72,25 +79,40 @@ def streaming_sessionize(
             yield emit(start, end, n)
             return
 
-        start, end, n = state.get if state.exists else (None, None, 0)
-        ts_ms: list[int] = []
+        # interval merge: batch events as point intervals plus the
+        # stored open session, in time order — this keeps batch-operator
+        # parity for LATE data too (an in-watermark event older than the
+        # open session either extends session_start backwards or forms
+        # its own earlier session, instead of being silently folded in)
+        intervals: list[list[int]] = []
         for pdf in pdfs:
             col = pd.to_datetime(pdf["ts"])
-            ts_ms.extend((col.astype("int64") // 1_000_000).tolist())
-        ts_ms.sort()
-        for t in ts_ms:
-            if start is None:
-                start, end, n = t, t, 1
-            elif t - end > gap_ms:
-                yield emit(start, end, n)  # gap inside the stream: close inline
-                start, end, n = t, t, 1
+            intervals.extend([int(t), int(t), 1] for t in (col.astype("int64") // 1_000_000))
+        if state.exists:
+            s0, e0, n0 = state.get
+            intervals.append([s0, e0, n0])
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        cur: list[int] | None = None
+        for s, e, n in intervals:
+            if cur is None:
+                cur = [s, e, n]
+            elif s - cur[1] <= gap_ms:
+                cur[1] = max(cur[1], e)
+                cur[2] += n
             else:
-                end = max(end, t)
-                n += 1
-        if start is not None:
-            state.update((start, end, n))
-            # close via timeout once the watermark passes end + gap
-            state.setTimeoutTimestamp(end + gap_ms)
+                yield emit(*cur)  # gap inside the merged stream: close inline
+                cur = [s, e, n]
+        if cur is not None:
+            deadline = cur[1] + gap_ms
+            if deadline <= state.getCurrentWatermarkMs():
+                # already expired relative to the watermark — close now
+                # (setTimeoutTimestamp would reject a past deadline)
+                state.remove()
+                yield emit(*cur)
+            else:
+                state.update((cur[0], cur[1], cur[2]))
+                # close via timeout once the watermark passes end + gap
+                state.setTimeoutTimestamp(deadline)
 
     return (
         events.select(
@@ -104,7 +126,8 @@ def streaming_sessionize(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            SESSION_SCHEMA,
+            # output key column typed from the input (string keys work)
+            _session_schema(events.schema[key].dataType.simpleString()),
             _STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,

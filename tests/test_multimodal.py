@@ -118,3 +118,27 @@ def test_audio_features_real_wav(spark):
     assert math.isfinite(rows[2]["rms"])
     with pytest.raises(Exception, match="NotImplementedError|not installed"):
         audio_features(df, real_decode=True).collect()
+
+
+def test_non_strict_decode_never_fails_on_malformed_payloads(spark):
+    """Regression (r3 review): payloads that merely SNIFF like BMP/PPM/
+    WAV (or are truncated/unsupported variants) must fall back to the
+    deterministic fake in non-strict mode — one bad row must not kill
+    the Spark task."""
+    from debezium_server_batch_spark.operators.multimodal import audio_features
+
+    bad = [
+        (1, "image", b"P6 garbage-not-a-header", (4, 4, None, "?")),
+        (2, "image", b"BM" + b"\x00" * 60, (4, 4, None, "?")),  # bogus BMP header
+        (3, "image", b"P6\n2 0\n255\n", (4, 4, None, "?")),  # zero-area PPM
+        (4, "audio", b"RIFF1234WAVEtruncated", (None, None, None, "?")),
+    ]
+    df = spark.createDataFrame(bad, MEDIA_SCHEMA)
+    imgs = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert set(imgs) == {1, 2, 3, 4}
+    assert all(0.0 <= imgs[i]["mean_intensity"] <= 255.0 for i in imgs)  # fake fallback
+    auds = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert all(auds[i]["sample_rate"] == 16000 for i in auds)  # fake PCM path
+    # strict mode surfaces the malformed payloads instead
+    with pytest.raises(Exception):
+        decode_images(df, real_decode=True).collect()

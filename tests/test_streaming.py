@@ -108,3 +108,55 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert got == expect
     # u3@19:00 stays open (its 19:30 deadline is past the final 18:30
     # watermark) and is correctly NOT emitted — a longer stream closes it
+
+
+def test_streaming_sessionize_late_event_forms_earlier_session(spark, tmp_path):
+    """Regression (r3 review): an in-watermark late event OLDER than the
+    open session must form its own earlier session (or extend
+    session_start backwards) — not be silently folded into the open
+    session's count."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    d = "2024-03-02 "
+    write_file("f0.parquet", [(1, d + "12:00")])
+    write_file("f1.parquet", [(1, d + "09:00")])  # late but inside the 4h watermark
+    write_file("f2.parquet", [(2, d + "20:00")])  # watermark → 16:00 closes u1@12:00
+
+    stream = spark.readStream.schema("user_id long, ts timestamp_ntz").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        streaming_sessionize(stream, gap_minutes=30.0, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    assert got == {
+        (1, "2024-03-02 09:00:00", "2024-03-02 09:00:00", 1),  # late event: OWN session
+        (1, "2024-03-02 12:00:00", "2024-03-02 12:00:00", 1),  # original, closed by timeout
+    }

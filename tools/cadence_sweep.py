@@ -79,6 +79,7 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
     assert len({r["rows"] for r in results}) == 1, "cadences must agree on table state"
+    assert len({r["slice_rows"] for r in results}) == 1, "day-sliced reads must agree too"
     print(json.dumps({"sweep": results}))
     spark.stop()
 
