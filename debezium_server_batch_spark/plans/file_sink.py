@@ -23,7 +23,6 @@ from __future__ import annotations
 import datetime
 import json
 import os
-import uuid
 from zoneinfo import ZoneInfo
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +38,10 @@ class FileSink:
         objectkey_partition: bool = False,
         partition_tz: str = "UTC",
         today_fn=None,
+        storage=None,
     ):
+        from .storage import PosixStorage
+
         self.spark = spark
         self.root = root
         self.save_format = save_format
@@ -47,6 +49,10 @@ class FileSink:
         self.objectkey_partition = objectkey_partition
         self.tz = ZoneInfo(partition_tz)
         self._today_fn = today_fn  # test hook for the wall-clock date
+        # checkpoint I/O through the storage layer: PosixStorage does a
+        # durable tmp+rename, an object store a plain PUT (single-writer
+        # checkpoint, last PUT wins — the reference's S3 deployment shape)
+        self.storage = storage if storage is not None else PosixStorage()
 
     # ------------------------------------------------------------------
 
@@ -79,19 +85,13 @@ class FileSink:
 
     def checkpoint(self) -> dict | None:
         p = self._ckpt_path()
-        if not os.path.exists(p):
+        if not self.storage.exists(p):
             return None
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self.storage.read_text(p))
 
     def commit_checkpoint(self, checkpoint: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = os.path.join(self.root, f".ckpt-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(checkpoint, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._ckpt_path())
+        self.storage.makedirs(self.root)
+        self.storage.write_text(self._ckpt_path(), json.dumps(checkpoint))
 
     def read(self, destination_name: str) -> DataFrame:
         """Read a destination back, merging schema epochs (the reference's

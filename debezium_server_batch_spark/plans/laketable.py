@@ -677,6 +677,34 @@ class LakeTable:
                 _time.sleep(delay)
                 delay = min(delay * 2, 60.0)
 
+    # rewrite commits (CoW merge, compaction, purge) are computed against
+    # one specific snapshot; when a concurrent committer advances the
+    # table first they raise ConcurrentCommitError. The public entry
+    # points auto-retry a bounded number of times, RECOMPUTING from the
+    # new current snapshot each attempt (Iceberg's optimistic rewrite
+    # retry) — never re-linking the stale payload. Each failed attempt's
+    # data files are unreferenced orphans; vacuum() reclaims them.
+    CONCURRENT_RETRIES = 5
+
+    def _retry_concurrent(self, fn, what: str):
+        import warnings as _warnings
+
+        last: ConcurrentCommitError | None = None
+        for attempt in range(self.CONCURRENT_RETRIES + 1):
+            try:
+                return fn()
+            except ConcurrentCommitError as e:
+                last = e
+                if attempt >= self.CONCURRENT_RETRIES:
+                    raise
+                _warnings.warn(
+                    f"{what} lost a commit race (attempt {attempt + 1}/"
+                    f"{self.CONCURRENT_RETRIES + 1}); recomputing from the "
+                    f"current snapshot: {e}",
+                    stacklevel=2,
+                )
+        raise last  # unreachable; keeps type-checkers honest
+
     def _write_files(self, *args, **kwargs) -> dict[str, list[dict]]:
         return self._retry_write(lambda: self._write_files_once(*args, **kwargs), "bucketed write")
 
@@ -906,7 +934,28 @@ class LakeTable:
         in the batch are read and rewritten; the join runs with both
         sides hash-clustered on the key (the batch side is shuffled once;
         AQE handles residual skew).
+
+        Concurrency: MoR merges are additive and rebase automatically on
+        a lost commit race. A CoW merge is a rewrite — on
+        ConcurrentCommitError it is RECOMPUTED from the winner's snapshot
+        and retried (bounded, CONCURRENT_RETRIES), so two pipelines can
+        share one table without either window dying; `batch` is a logical
+        plan and re-executes deterministically on retry.
         """
+        return self._retry_concurrent(
+            lambda: self._merge_once(batch, deleted_col, checkpoint, lineage, rows_hint, validate),
+            "merge",
+        )
+
+    def _merge_once(
+        self,
+        batch: DataFrame,
+        deleted_col: str,
+        checkpoint: dict | None,
+        lineage: list[dict] | None,
+        rows_hint: int | None,
+        validate,
+    ) -> int:
         snap = self.snapshot()
         keys = self._key_cols(snap)
         order_by = [c for c in snap["order_by"] if c != deleted_col]
@@ -951,7 +1000,12 @@ class LakeTable:
             str(r[0])
             for r in batch.select(self._bucket_expr(snap).alias("_b")).distinct().collect()
         ]
-        target = conform(self._read_raw(buckets=[int(b) for b in affected]), evolved)
+        # read pinned at THIS snapshot's version: a concurrent commit
+        # landing mid-compute must not leak into a rewrite whose
+        # expected_base is older (the commit guard would then pass stale)
+        target = conform(
+            self._read_raw(version=snap["version"], buckets=[int(b) for b in affected]), evolved
+        )
         source = conform(batch, evolved)
 
         merged = self._cow_combine(target, source, keys, order_by, evolved)
@@ -1071,10 +1125,21 @@ class LakeTable:
 
         Exact on append / MoR-merge history (each commit's files hold
         exactly its batch). A CoW merge rewrites whole buckets — its
-        files mix new and re-emitted rows — so a CoW commit in range
-        raises ValueError instead of silently over-reporting.
+        files mix new and re-emitted rows — so its changes are recovered
+        by a per-bucket old-vs-new full-row anti-join (the Iceberg
+        changelog-from-CoW shape): rows of the rewritten buckets at v
+        that do not appear byte-identically at v-1 are exactly the
+        inserted + updated rows, and CoW deletes are tombstone updates
+        so they appear too. Cost is O(affected buckets' data at both
+        versions) — bounded by the rewrite the merge itself already did.
+        Unchanged rows re-emitted by the rewrite cancel in the anti-join
+        (schema widening between versions cancels too: both sides are
+        conformed to the target schema first). Only the degenerate
+        same-order-different-payload overwrite (a non-idempotent replay
+        the order-guard semantics exclude) would be missed.
         Maintenance commits (compaction, vacuum-expiry survivors,
-        checkpoint-only) add no logical rows and are skipped."""
+        checkpoint-only) add no logical rows and are skipped; other
+        rewrites (unknown ops) still raise ValueError."""
         cur = self.current_version()
         to_version = cur if to_version is None else to_version
         if since_version > to_version:
@@ -1093,6 +1158,10 @@ class LakeTable:
                             "_commit_version", F.lit(v)
                         )
                     )
+            elif op == "merge":
+                delta = self._cow_changes(prev, snap, current)
+                if delta is not None:
+                    parts.append(delta.withColumn("_commit_version", F.lit(v)))
             elif op not in self._REWRITE_OPS and op != "checkpoint-only":
                 raise ValueError(
                     f"changes({since_version}, {to_version}): commit v{v} is "
@@ -1111,6 +1180,38 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _cow_changes(self, prev: dict, snap: dict, current: T.StructType) -> DataFrame | None:
+        """Net row changes of ONE CoW merge commit: rows of the rewritten
+        buckets at `snap` minus (full-row, null-safe) the same buckets at
+        `prev`. The merge summary records which buckets it rewrote, so
+        planning is O(affected buckets); untouched buckets never enter
+        the join. Returns None when the commit touched nothing."""
+        summary = snap.get("summary") or {}
+        affected = summary.get("affected_buckets")
+        if affected is None:
+            raise ValueError(
+                f"CoW commit v{snap.get('version')} carries no affected_buckets "
+                "summary — cannot derive a changelog from it"
+            )
+        bkeys = [str(b) for b in affected]
+        new_entries = [f for b in bkeys for f in snap["buckets"].get(b, [])]
+        old_entries = [f for b in bkeys for f in prev["buckets"].get(b, [])]
+        if not new_entries:
+            return None
+        new_df = conform(self._read_entries(new_entries, snap), current)
+        if not old_entries:
+            return new_df
+        old_df = conform(self._read_entries(old_entries, prev), current)
+        cond = None
+        for f in current.fields:
+            eq = F.col(f"_n.{f.name}").eqNullSafe(F.col(f"_o.{f.name}"))
+            cond = eq if cond is None else (cond & eq)
+        return (
+            new_df.alias("_n")
+            .join(old_df.alias("_o"), cond, "left_anti")
+            .select(*[F.col(f.name) for f in current.fields])
+        )
+
     def compact_deltas(self) -> int:
         """MINOR compaction: fold outstanding MoR deltas into a collapsed
         bucket/day layout, rewriting just the buckets the delta keys
@@ -1120,7 +1221,13 @@ class LakeTable:
         equivalent. Dispatches on the persisted delta layout: unbucketed
         deltas live under the '*' pseudo-bucket; bucketed deltas are
         folded per multi-file bucket (_fold_bucketed). No-op when no
-        deltas are outstanding."""
+        deltas are outstanding. Auto-retries on a lost commit race
+        (recompute-from-current, see _retry_concurrent) — a compactor
+        racing a live MoR appender converges instead of failing the
+        maintenance loop."""
+        return self._retry_concurrent(self._compact_deltas_once, "compact_deltas")
+
+    def _compact_deltas_once(self) -> int:
         snap = self.snapshot()
         star = snap["buckets"].get("*")
         if not star:
@@ -1269,21 +1376,36 @@ class LakeTable:
         the small-file compaction Iceberg does with rewrite_data_files.
         Micro-batch CoW accumulates small files; run this periodically.
         On merge-on-read tables this also folds outstanding deltas (LWW
-        collapse), after which reads are plain scans again."""
-        snap = self.snapshot()
-        df = self._read_raw()
-        if snap.get("needs_collapse"):
-            df = self._collapse(df, snap)  # keeps tombstone winners
-        return self._rewrite_all(df, "compact")
+        collapse), after which reads are plain scans again. Auto-retries
+        on a lost commit race (recompute-from-current)."""
+
+        def df_fn(snap: dict) -> DataFrame:
+            df = self._read_raw(version=snap["version"])
+            if snap.get("needs_collapse"):
+                df = self._collapse(df, snap)  # keeps tombstone winners
+            return df
+
+        return self._retry_concurrent(lambda: self._rewrite_all(df_fn, "compact"), "compact")
 
     def purge_tombstones(self) -> int:
         """Drop retained delete tombstones. Safe once no replay older
         than the current checkpoint can occur (the runner only replays
-        from the checkpoint forward)."""
-        return self._rewrite_all(self.read(include_deleted=False), "purge-tombstones")
+        from the checkpoint forward). Auto-retries on a lost commit
+        race (recompute-from-current)."""
+        return self._retry_concurrent(
+            lambda: self._rewrite_all(
+                lambda snap: self.read(version=snap["version"], include_deleted=False),
+                "purge-tombstones",
+            ),
+            "purge_tombstones",
+        )
 
-    def _rewrite_all(self, df: DataFrame, operation: str) -> int:
+    def _rewrite_all(self, df_fn, operation: str) -> int:
+        """One full-table rewrite attempt against the CURRENT snapshot;
+        `df_fn(snap)` builds the replacement rows pinned at that
+        version. Raises ConcurrentCommitError if the table moved."""
         snap = self.snapshot()
+        df = df_fn(snap)
         sid = snap["current_schema_id"]
         # a full rewrite's output is key-unique — mark it so the
         # bucketed-delta minor fold (_fold_bucketed) skips these files.

@@ -22,6 +22,14 @@ import sys
 import time
 
 
+def _make_storage(name: str):
+    if name == "condput":
+        from debezium_server_batch_spark.plans.storage import ConditionalPutStorage
+
+        return ConditionalPutStorage()
+    return None  # PosixStorage default
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="PySpark-native CDC ingest engine")
     p.add_argument("--master", default=None, help="override Spark master (else spark-submit's)")
@@ -69,12 +77,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="files sink: wall-clock dt= path partition (reference P6)")
     r.add_argument("--partition-tz", default="UTC")
     r.add_argument("--track-lag", action="store_true", help="emit ms-behind-source per batch")
+    r.add_argument("--storage", default="posix", choices=["posix", "condput"],
+                   help="metadata/commit storage backend: posix hard-link claims or "
+                   "object-store conditional-PUT semantics (condput)")
     r.add_argument("--wait-strategy", default="NoBatchSizeWait")
     r.add_argument("--max-batch-size", type=int, default=2048)
     r.add_argument("--max-wait-ms", type=int, default=300_000)
 
     m = sub.add_parser("compact")
     m.add_argument("--table", required=True)
+    m.add_argument("--storage", default="posix", choices=["posix", "condput"])
     m.add_argument("--incremental", action="store_true",
                    help="minor compaction: fold outstanding deltas only (O(deltas), not O(table))")
     m.add_argument("--purge-tombstones", action="store_true")
@@ -151,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
                 objectkey_partition=args.objectkey_partition,
                 partition_tz=args.partition_tz,
                 track_lag=args.track_lag,
+                storage=_make_storage(getattr(args, "storage", "posix")),
             )
             stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)
             print(
@@ -167,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from debezium_server_batch_spark.plans.laketable import LakeTable
 
-            t = LakeTable.load(spark, args.table)
+            t = LakeTable.load(spark, args.table, storage=_make_storage(args.storage))
             if args.purge_tombstones:
                 t.purge_tombstones()
             if args.incremental:

@@ -457,15 +457,145 @@ def test_changes_incremental_changelog(spark, tmp_path):
     assert {(r["url"], r["__lsn"]) for r in t.changes(v1).collect()} == {("a", 3), ("b", 4)}
     assert t.changes(t.current_version()).count() == 0
 
-    # a CoW merge in range mixes new and re-emitted rows → refuse
+    # a CoW merge's files mix new and re-emitted rows — its changelog is
+    # recovered by the per-bucket old/new anti-join (r3 next-round #4)
     c = LakeTable.create(
         spark, str(tmp_path / "chc"), SCHEMA, key_col="url", num_buckets=4,
         order_by=("__lsn",), merge_mode="cow",
     )
     c.merge(_batch(spark, [("a", "t1", 1, False)]))
     cv = c.merge(_batch(spark, [("a", "t2", 2, False)]))
-    with pytest.raises(ValueError):
-        c.changes(cv - 1)
+    assert {(r["url"], r["text"], r["_commit_version"]) for r in c.changes(cv - 1).collect()} == {
+        ("a", "t2", cv)
+    }
+
+
+def test_changes_over_cow_merge_commits(spark, tmp_path):
+    """CoW changelog: rows of the rewritten buckets at v not present
+    byte-identically at v-1 = inserted + updated + tombstoned rows;
+    unchanged rows the rewrite re-emitted cancel in the anti-join even
+    when their bucket was rewritten."""
+    c = LakeTable.create(
+        spark, str(tmp_path / "cowch"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="cow",
+    )
+    v1 = c.merge(
+        _batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False), ("d", "t1", 3, False)])
+    )
+    # update a, insert e, delete b; d untouched (but with 2 buckets its
+    # bucket is almost surely rewritten alongside — must still cancel)
+    v2 = c.merge(
+        _batch(spark, [("a", "t2", 4, False), ("e", "t1", 5, False), ("b", None, 6, True)])
+    )
+    ch = {
+        (r["url"], r["text"], r["__deleted"], r["_commit_version"])
+        for r in c.changes(v1).collect()
+    }
+    assert ch == {("a", "t2", False, v2), ("e", "t1", False, v2), ("b", None, True, v2)}
+    # full history from create: v1's changes are its whole batch
+    full = {(r["url"], r["__lsn"]) for r in c.changes(0).collect()}
+    assert full == {("a", 1), ("b", 2), ("d", 3), ("a", 4), ("e", 5), ("b", 6)}
+    # empty range still typed correctly
+    assert c.changes(c.current_version()).count() == 0
+
+
+def test_cow_merge_auto_retries_on_concurrent_commit(spark, table):
+    """A CoW merge losing the commit race RECOMPUTES from the winner's
+    snapshot and retries (r3 next-round #2) — the window survives and
+    nothing of the winner is lost."""
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    calls = {"n": 0}
+    orig = table._write_files
+
+    def racing_write(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent committer advances the table mid-compute
+            LakeTable.load(spark, table.root).append(_batch(spark, [("z", "t", 9, False)]))
+        return orig(*a, **kw)
+
+    table._write_files = racing_write
+    try:
+        table.merge(_batch(spark, [("a", "t2", 2, False)]))
+    finally:
+        del table._write_files
+    state = {r["url"]: r["text"] for r in table.read().collect()}
+    assert state["a"] == "t2"  # the retried merge landed
+    assert state["z"] == "t"  # the winner's row survived (no lost update)
+    assert calls["n"] == 2  # exactly one recompute
+
+
+def test_compact_deltas_auto_retries_on_concurrent_commit(spark, tmp_path):
+    """Minor compaction racing a live MoR appender recomputes and
+    converges instead of killing the maintenance loop — the appender's
+    mid-compaction delta is folded by the retry, not dropped."""
+    root = str(tmp_path / "race")
+    t = LakeTable.create(
+        spark, root, SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    t.merge(_batch(spark, [("a", "t2", 3, False)]))
+    calls = {"n": 0}
+    orig = t._write_files
+
+    def racing_write(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            LakeTable.load(spark, root).merge(_batch(spark, [("q", "tq", 9, False)]))
+        return orig(*a, **kw)
+
+    t._write_files = racing_write
+    try:
+        t.compact_deltas()
+    finally:
+        del t._write_files
+    assert calls["n"] == 2
+    snap = t.snapshot()
+    assert "*" not in snap["buckets"]  # ALL deltas folded, incl. the racer's
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert state == {"a": "t2", "b": "t1", "q": "tq"}
+
+
+def test_two_writer_append_compact_race_converges(spark, tmp_path):
+    """Two real writers on one table — a MoR appender thread and a
+    compactor thread — must converge to the serial LWW state with no
+    lost updates and no failed windows (r3 next-round #2 done-check)."""
+    import threading
+
+    root = str(tmp_path / "two")
+    LakeTable.create(
+        spark, root, SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    errors = []
+
+    def appender():
+        try:
+            h = LakeTable.load(spark, root)
+            for i in range(4):
+                h.merge(_batch(spark, [(f"k{i % 3}", f"v{i}", i + 10, False)]))
+        except Exception as e:  # noqa: BLE001 — surfaced via assert below
+            errors.append(e)
+
+    def compactor():
+        try:
+            h = LakeTable.load(spark, root)
+            for _ in range(3):
+                h.compact_deltas()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=appender), threading.Thread(target=compactor)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errors
+    t = LakeTable.load(spark, root)
+    t.compact_deltas()
+    state = {r["url"]: (r["text"], r["__lsn"]) for r in t.read().collect()}
+    assert state == {"k0": ("v3", 13), "k1": ("v1", 11), "k2": ("v2", 12)}
 
 
 def test_changes_after_vacuum_fails_clearly(spark, tmp_path):
