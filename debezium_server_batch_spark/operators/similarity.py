@@ -43,7 +43,9 @@ def brute_force_topk(
 
 
 def make_assign_udf(centroids):
-    """Arrow UDF: embedding → nearest-centroid index (L2)."""
+    """Arrow UDF: embedding → nearest-centroid index (L2). Kept as the
+    reference implementation; the build loop uses assign_expr (pure
+    JVM codegen — no corpus transfer to Python workers per round)."""
     import numpy as np
 
     c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
@@ -58,33 +60,90 @@ def make_assign_udf(centroids):
     return assign
 
 
+def assign_expr(centroids, vec_col: str) -> F.Column:
+    """Nearest-centroid index as a BUILT-IN expression: per-centroid
+    squared-L2 via a zip_with fold (fixed left-to-right order → bit-
+    deterministic regardless of partitioning), argmin via
+    array_position(array_min) (first minimum, numpy tie semantics).
+    Whole-stage codegen end to end: the k-means build never ships the
+    corpus to Python workers — at 10^10 vectors the Arrow-UDF variant
+    pays a JVM→Arrow→numpy round-trip of every vector per Lloyd round,
+    this pays none. The centroids enter as ONE nested-array literal
+    (not per-value scalar literals): complex-type literals are carried
+    in the codegen references pool, so the generated code is identical
+    across Lloyd rounds and the JIT compiles it once instead of once
+    per round's centroid values."""
+    carr = F.lit([[float(x) for x in c] for c in centroids])
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 3,
+    sample_cap: int = 131_072,
+    distributed: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF index: k-means (Lloyd) over the embeddings, deterministic —
-    init from the k smallest ids, assignment via Arrow UDF. Build ONCE,
-    query many times with ivf_topk(indexed, centroids, ...): at 100 TB
-    the `_cluster` column is written into the table and used as a
+    """IVF index: deterministic k-means centroids + a `_cluster` column.
+    Build ONCE, query many times with ivf_topk(indexed, centroids, ...):
+    at 100 TB `_cluster` is written into the table and used as a
     partition/prune key, and centroids live in the catalog.
 
-    The centroid update never gathers vectors onto one task: vectors are
-    posexplode'd to (cluster, dim_pos, value) rows and reduced with a
-    hash aggregate (map-side partial sums), so the per-task state is one
-    partial sum per (cluster, pos) — k×dim doubles — regardless of how
-    skewed the cluster sizes are. Only the k×dim (cluster, pos, mean)
-    rows reach the driver. The source is persisted once for all Lloyd
-    iterations instead of re-scanned per round."""
+    Default (FAISS-style IVF training): centroids are fit on a bounded
+    DETERMINISTIC sample (the `sample_cap` smallest ids — k-means needs
+    a representative sample, not the corpus) with numpy Lloyd rounds on
+    the driver (fixed chunking → deterministic pairwise sums), then the
+    FULL corpus is assigned in ONE distributed pass of pure codegen
+    expressions (assign_expr — no Python workers, no per-round jobs).
+    Driver memory is bounded by sample_cap×dim float64 (~64 MB at the
+    default), independent of corpus size.
+
+    distributed=True instead runs every Lloyd round over the full
+    corpus in Spark (for corpora whose tail matters to the
+    quantizer): the centroid update never gathers vectors onto one
+    task — vectors are posexplode'd to (cluster, dim_pos, value) rows
+    and reduced with a hash aggregate (map-side partial sums; decimal
+    accumulation so centroids are bit-identical across partitionings);
+    only the k×dim (cluster, pos, mean) rows reach the driver. Costs
+    one 2-stage job per round."""
     vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+    if not distributed:
+        import numpy as np
+
+        sample = vecs.orderBy(id_col).limit(sample_cap).select(vec_col).collect()
+        train = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
+        cents = train[: min(k, len(train))].copy()
+        for _ in range(iters):
+            assign = np.empty(len(train), dtype=np.int64)
+            for lo in range(0, len(train), 4096):  # fixed chunks → deterministic sums
+                ch = train[lo : lo + 4096]
+                d = ((ch[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign[lo : lo + len(ch)] = d.argmin(axis=1)
+            for j in range(len(cents)):
+                members = train[assign == j]
+                if len(members):  # empty cluster keeps its centroid
+                    cents[j] = members.mean(axis=0)
+        centroids = [[float(x) for x in c] for c in cents]
+        return vecs.withColumn("_cluster", assign_expr(centroids, vec_col)), centroids
+
     init_rows = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in init_rows]
-
     for _ in range(iters):
-        assign = make_assign_udf(centroids)
-        assigned = vecs.select(assign(F.col(vec_col)).alias("_cluster"), F.col(vec_col))
+        assigned = vecs.select(assign_expr(centroids, vec_col).alias("_cluster"), F.col(vec_col))
         agg = (
             assigned.select("_cluster", F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
             .groupBy("_cluster", "_pos")
@@ -101,8 +160,7 @@ def ivf_build(
             new_c[r["_cluster"]][r["_pos"]] = r["_s"] / r["_n"]
         centroids = new_c
 
-    assign = make_assign_udf(centroids)
-    out = vecs.withColumn("_cluster", assign(F.col(vec_col)))
+    out = vecs.withColumn("_cluster", assign_expr(centroids, vec_col))
     return out, centroids
 
 
