@@ -110,6 +110,109 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # watermark) and is correctly NOT emitted — a longer stream closes it
 
 
+def test_streaming_sessionize_checkpoint_restart(spark, tmp_path):
+    """r3 next-round #3: kill the sessionize query mid-stream, restart
+    from the checkpoint — open-session STATE must be recovered (an event
+    arriving after the restart merges into a session opened before the
+    kill), every closed session is emitted exactly once across both runs
+    (exactly-once file sink, no downstream dedup), and the union equals
+    the batch sessionize operator on the same data."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.operators.relational import sessionize
+    from debezium_server_batch_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    def run_until_drained():
+        q = (
+            streaming_sessionize(
+                spark.readStream.schema("user_id long, ts timestamp_ntz")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src)),
+                gap_minutes=30.0,
+                watermark="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    d = "2024-03-03 "
+    # ---- run 1: two files, then the query stops ("crash") with u1's
+    # 13:00 and u2's 13:10 sessions still OPEN in the state store
+    write_file("f0.parquet", [(1, d + "10:00"), (1, d + "10:05"), (2, d + "10:00")])
+    write_file("f1.parquet", [(1, d + "13:00"), (2, d + "13:10")])
+    run_until_drained()
+
+    # ---- run 2 (fresh query object, same checkpoint): 13:05 must MERGE
+    # into u1's recovered open session — only possible if state survived
+    write_file("f2.parquet", [(1, d + "13:05"), (3, d + "16:00")])
+    write_file("f3.parquet", [(9, d + "23:00")])  # watermark 22:00 closes all but u9
+    run_until_drained()
+
+    rows = spark.read.parquet(out).collect()  # honors the sink's _spark_metadata
+    got = [
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in rows
+    ]
+    assert len(got) == len(set(got))  # exactly once: no duplicate emissions
+    assert set(got) == {
+        (1, "2024-03-03 10:00:00", "2024-03-03 10:05:00", 2),  # closed inline, run 1
+        (2, "2024-03-03 10:00:00", "2024-03-03 10:00:00", 1),  # closed inline, run 1
+        (1, "2024-03-03 13:00:00", "2024-03-03 13:05:00", 2),  # state recovered + merged
+        (2, "2024-03-03 13:10:00", "2024-03-03 13:10:00", 1),  # timeout after restart
+        (3, "2024-03-03 16:00:00", "2024-03-03 16:00:00", 1),  # timeout after restart
+    }
+    # u9@23:00 stays open (deadline past the final 22:00 watermark)
+
+    # ---- batch parity: the batch operator over ALL events, rolled up
+    # per session and restricted to sessions closed by the final
+    # watermark, equals the streaming output
+    batch = sessionize(
+        spark.read.schema("user_id long, ts timestamp_ntz").parquet(str(src)).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        gap_minutes=30.0,
+    )
+    rolled = (
+        batch.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(
+            F.unix_millis(F.col("session_end")) + 30 * 60_000
+            <= F.unix_millis(F.lit("2024-03-03 22:00:00").cast("timestamp"))
+        )
+    )
+    expect_batch = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in rolled.collect()
+    }
+    assert set(got) == expect_batch
+
+
 def test_streaming_sessionize_late_event_forms_earlier_session(spark, tmp_path):
     """Regression (r3 review): an in-watermark late event OLDER than the
     open session must form its own earlier session (or extend
