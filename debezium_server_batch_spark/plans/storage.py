@@ -131,3 +131,131 @@ class ConditionalPutStorage(PosixStorage):
                 return False
             self.write_text(path, data)
             return True
+
+
+class S3Storage:
+    """Real S3 backend for the metadata/commit path — every primitive is
+    one S3 API call (the mapping ConditionalPutStorage's double models):
+
+      claim      → PutObject with ``IfNoneMatch='*'`` (atomic
+                   create-if-absent; S3 has supported the conditional
+                   write natively since 2024 — on a 412
+                   PreconditionFailed the commit race was lost)
+      write_text → PutObject;  read_text → GetObject
+      listdir    → ListObjectsV2 with Delimiter='/' (prefix listing;
+                   CommonPrefixes are the "subdirectories")
+      exists     → HeadObject; mtime → HeadObject LastModified
+      delete     → DeleteObject
+      makedirs / cleanup_empty_dirs → no-ops (keys have no directories)
+
+    Paths are ``s3://bucket/key`` URIs or plain keys under the
+    constructor's (bucket, prefix). Data files are written by Spark's
+    own Hadoop S3A connector; this layer carries ONLY the commit
+    protocol, so latency per commit is a handful of small-object calls.
+    Gated behind an import-try: the sandbox has no boto3/network, so
+    construction raises ImportError here — the class is exercised
+    indirectly through ConditionalPutStorage, which reproduces its
+    concurrency semantics in-process (same claim/PUT/list contract).
+    """
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        if client is None:
+            try:
+                import boto3  # noqa: F401 — optional dependency
+            except ImportError as e:  # pragma: no cover — no boto3 in sandbox
+                raise ImportError(
+                    "S3Storage needs boto3 (not installed in this environment); "
+                    "use ConditionalPutStorage for in-process object-store semantics"
+                ) from e
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.s3 = client
+
+    def _key(self, path: str) -> str:
+        if path.startswith("s3://"):
+            rest = path[5:].split("/", 1)
+            return rest[1] if len(rest) > 1 else ""
+        key = path.lstrip("/")
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    # -- primitives ----------------------------------------------------
+
+    def makedirs(self, path: str) -> None:  # object stores have no dirs
+        return None
+
+    def isdir(self, path: str) -> bool:
+        k = self._key(path).rstrip("/") + "/"
+        resp = self.s3.list_objects_v2(Bucket=self.bucket, Prefix=k, MaxKeys=1)
+        return resp.get("KeyCount", 0) > 0
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.s3.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except self.s3.exceptions.ClientError:
+            return False
+
+    def listdir(self, path: str) -> list[str]:
+        k = self._key(path).rstrip("/") + "/"
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": k, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.s3.list_objects_v2(**kw)
+            names.update(o["Key"][len(k):] for o in resp.get("Contents", []))
+            names.update(p["Prefix"][len(k):].rstrip("/") for p in resp.get("CommonPrefixes", []))
+            if not resp.get("IsTruncated"):
+                return sorted(n for n in names if n)
+            token = resp.get("NextContinuationToken")
+
+    def read_text(self, path: str) -> str:
+        return (
+            self.s3.get_object(Bucket=self.bucket, Key=self._key(path))["Body"]
+            .read()
+            .decode("utf-8")
+        )
+
+    def write_text(self, path: str, data: str) -> None:
+        self.s3.put_object(Bucket=self.bucket, Key=self._key(path), Body=data.encode("utf-8"))
+
+    def claim(self, path: str, data: str) -> bool:
+        try:
+            self.s3.put_object(
+                Bucket=self.bucket,
+                Key=self._key(path),
+                Body=data.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+            return True
+        except self.s3.exceptions.ClientError as e:
+            code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code in (412, 409):  # PreconditionFailed / ConditionalRequestConflict
+                return False
+            raise
+
+    def delete(self, path: str) -> None:
+        self.s3.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def mtime(self, path: str) -> float:
+        head = self.s3.head_object(Bucket=self.bucket, Key=self._key(path))
+        return head["LastModified"].timestamp()
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        k = self._key(root).rstrip("/") + "/"
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": k}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.s3.list_objects_v2(**kw)
+            for o in resp.get("Contents", []):
+                yield f"s3://{self.bucket}/{o['Key']}"
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def cleanup_empty_dirs(self, root: str, min_age_s: float = 0.0) -> None:
+        return None  # no directories to clean
