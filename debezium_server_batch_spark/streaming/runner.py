@@ -359,7 +359,7 @@ class CdcPipeline:
             and not self.cfg.lineage_per_bucket
             and not self.cfg.track_lag
             and self._union_struct is not None
-            and LakeTable.exists(self.cfg.table_root)
+            and LakeTable.exists(self.cfg.table_root, storage=self.storage)
         )
 
     def _refresh_schema_cache(self, groups) -> None:
