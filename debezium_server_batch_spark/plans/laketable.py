@@ -494,12 +494,20 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         days: tuple | None = None,
+        _key_values: list | None = None,
     ) -> DataFrame:
         """Current live rows. Delete tombstones are physically retained
         (so replaying *any* stale batch stays a no-op — see merge) and
         filtered here unless include_deleted=True. For merge-on-read
         tables with outstanding deltas, the scan is LWW-collapsed per key
         first (one hash-aggregate; compact() amortizes it away).
+
+        `_key_values` (internal, read_keys): leading-key point-lookup
+        values for zone-map file skipping — sound ONLY because the
+        caller filters rows to exactly those keys afterwards (and for
+        MoR collapse: every version of a key lies inside its files'
+        key zones, so skipping zones that exclude the key cannot alter
+        the key's LWW winner).
 
         `days=(lo, hi)` (ints or ISO dates, inclusive) prunes the scan to
         files whose _day partition falls in range — on a time-partitioned
@@ -520,9 +528,9 @@ class LakeTable:
                 F.datediff(F.to_date(F.col(ts_col).cast("timestamp")), F.lit("1970-01-01")),
                 F.lit(-1),
             ).between(lo, hi)
-            df = self._read_raw(version, buckets, None)
+            df = self._read_raw(version, buckets, None, _key_values)
         else:
-            df = self._read_raw(version, buckets, days)
+            df = self._read_raw(version, buckets, days, _key_values)
         if buckets is not None and "*" in snap["buckets"]:
             # unbucketed deltas carry rows of EVERY bucket — re-apply the
             # bucket restriction at row level so read(buckets=...) keeps
@@ -559,6 +567,10 @@ class LakeTable:
         hash is bit-identical to the write path) and scans only those
         buckets — O(|keys|/num_buckets of the table) files instead of a
         full scan, the lookup shape a 10^10-row serving layer needs.
+        Inside each bucket, files whose leading-key ZONE MAP (min/max
+        recorded at compaction/CoW write) excludes every probed key are
+        skipped too — multi-file buckets (day/salt splits) narrow to
+        the few files that can hold the key.
         Composite keys: pass tuples in key-column order."""
         snap = self.snapshot(version)
         key_cols = self._key_cols(snap)
@@ -572,7 +584,11 @@ class LakeTable:
         wanted = sorted(
             {r[0] for r in kdf.select(self._bucket_expr(snap).alias("_b")).distinct().collect()}
         )
-        df = self.read(version=version, buckets=[int(b) for b in wanted])
+        df = self.read(
+            version=version,
+            buckets=[int(b) for b in wanted],
+            _key_values=[r[0] for r in rows],
+        )
         if len(rows) > 64:
             # large key lists: broadcast semi-join beats a giant OR chain
             return df.join(F.broadcast(kdf), on=key_cols, how="left_semi")
@@ -590,8 +606,14 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         days: tuple | None = None,
+        key_values: list | None = None,
     ) -> list[dict]:
-        """Manifest entries after bucket/day pruning — what a read scans."""
+        """Manifest entries after bucket/day/zone-map pruning — what a
+        read scans. `key_values`: leading-key point-lookup values; files
+        whose recorded [kmin, kmax] zone excludes every value are
+        skipped (files without zones are kept). Only sound when the
+        caller filters rows to exactly these keys afterwards — which
+        read_keys does."""
         snap = self.snapshot(version)
         wanted = set(map(str, buckets)) if buckets is not None else None
         bounds = self._day_bounds(days) if days is not None else None
@@ -607,6 +629,16 @@ class LakeTable:
                     # files without day metadata can't be pruned; keep them
                     if d is not None and not (bounds[0] <= d <= bounds[1]):
                         continue
+                if key_values is not None and "kmin" in f:
+                    kmin, kmax = f["kmin"], f["kmax"]
+                    # prune only when EVERY probe value is provably
+                    # outside the zone; a type mismatch (can't compare
+                    # reliably) keeps the file
+                    if all(
+                        type(v) is type(kmin) and not (kmin <= v <= kmax)
+                        for v in key_values
+                    ):
+                        continue
                 out.append(f)
         return out
 
@@ -615,11 +647,12 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         days: tuple | None = None,
+        key_values: list | None = None,
     ) -> DataFrame:
         snap = self.snapshot(version)
         current = self.schema(snap)
         by_schema: dict[str, list[str]] = {}
-        for f in self.file_entries(version, buckets, days):
+        for f in self.file_entries(version, buckets, days, key_values):
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
         if not by_schema:
             return self.spark.createDataFrame([], current)
@@ -715,10 +748,20 @@ class LakeTable:
         schema_id: str,
         rows_hint: int | None = None,
         codec: str | None = None,
+        cluster_by_key: bool = False,
     ) -> dict[str, list[dict]]:
         """Write df bucketed by key (and optionally day-partitioned by
         the table's partition_ts_col) into a fresh commit dir; return
-        the per-bucket file manifest with row counts."""
+        the per-bucket file manifest with row counts.
+
+        cluster_by_key=True (compaction/rewrite paths — Iceberg's
+        sorted rewrite_data_files): instead of the hash salt, rows are
+        range-partitioned and sorted on (partition cols, leading key),
+        so each file of a multi-file bucket covers a DISJOINT key range
+        — the recorded [kmin, kmax] zone maps then actually discriminate
+        for point lookups, and parquet row-group min/max stats skip
+        under pushed-down key predicates. Costs a range-exchange sample
+        pass, which is why the ingest-path writes keep the salt."""
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, self.DATA, commit_id)
         # Salt the repartition so the write stage's parallelism tracks the
@@ -749,21 +792,33 @@ class LakeTable:
                 ),
             )
             part_cols.append("_day")
-        writer = (
-            wdf
-            # independent hash (seeded) — salt = f(bucket) would split nothing
-            .withColumn(
-                "_wsalt",
-                F.pmod(
-                    F.xxhash64(F.lit(1), *[F.col(k) for k in self._key_cols(snap)]),
-                    F.lit(salt_n),
-                ),
+        if cluster_by_key:
+            key0 = self._key_cols(snap)[0]
+            n_parts = max(2 * par, n_buckets)
+            if rows_hint is not None:
+                n_parts = max(1, min(n_parts, -(-rows_hint // 50_000)))
+            writer = (
+                wdf.repartitionByRange(n_parts, *part_cols, F.col(key0))
+                .sortWithinPartitions(*part_cols, key0)
+                .write.partitionBy(*part_cols)
+                .mode("overwrite")
             )
-            .repartition(max(2 * par, n_buckets), *part_cols, "_wsalt")
-            .drop("_wsalt")
-            .write.partitionBy(*part_cols)
-            .mode("overwrite")
-        )
+        else:
+            writer = (
+                wdf
+                # independent hash (seeded) — salt = f(bucket) would split nothing
+                .withColumn(
+                    "_wsalt",
+                    F.pmod(
+                        F.xxhash64(F.lit(1), *[F.col(k) for k in self._key_cols(snap)]),
+                        F.lit(salt_n),
+                    ),
+                )
+                .repartition(max(2 * par, n_buckets), *part_cols, "_wsalt")
+                .drop("_wsalt")
+                .write.partitionBy(*part_cols)
+                .mode("overwrite")
+            )
         if codec:
             writer = writer.option("compression", codec)
         writer.parquet(out_dir)
@@ -774,21 +829,35 @@ class LakeTable:
         ):
             return manifest
         # Per-file row counts from a DISTRIBUTED metadata scan (projection
-        # is only _metadata.file_path + partition columns, so executors
-        # read footers/row-group counts, never data pages). A driver-side
-        # per-file footer crawl serializes the commit on the driver at
-        # object-storage latencies once a commit has thousands of files.
+        # is _metadata.file_path + partition columns + the first key
+        # column, so executors read footers plus one column's pages). A
+        # driver-side per-file footer crawl serializes the commit on the
+        # driver at object-storage latencies once a commit has thousands
+        # of files. The min/max of the leading key column per file is a
+        # ZONE MAP: read_keys prunes files inside a bucket whose range
+        # excludes every probed key — the Iceberg column-stats skip,
+        # recorded only on bucketed (compaction/CoW) writes so the
+        # map-only MoR ingest path pays nothing.
+        key0 = self._key_cols(snap)[0]
+        back = self.spark.read.parquet(out_dir)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        with_zone = key0 in back.columns and not isinstance(
+            back.schema[key0].dataType, (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+        )
+        if with_zone:
+            aggs += [F.min(key0).alias("_kmin"), F.max(key0).alias("_kmax")]
         counts = (
-            self.spark.read.parquet(out_dir)
-            .groupBy(F.col("_metadata.file_path").alias("_path"), *part_cols)
-            .count()
+            back.groupBy(F.col("_metadata.file_path").alias("_path"), *part_cols)
+            .agg(*aggs)
             .collect()
         )
         for r in counts:
             rel = os.path.relpath(_uri_to_local(r["_path"]), self.root)
-            entry = {"path": rel, "rows": r["count"], "schema_id": schema_id}
+            entry = {"path": rel, "rows": r["_n"], "schema_id": schema_id}
             if len(part_cols) > 1:
                 entry["day"] = r["_day"]
+            if with_zone and isinstance(r["_kmin"], (str, int, float, bool)):
+                entry["kmin"], entry["kmax"] = r["_kmin"], r["_kmax"]
             manifest.setdefault(str(r["_bucket"]), []).append(entry)
         for b in manifest:
             manifest[b].sort(key=lambda e: e["path"])
@@ -1259,7 +1328,8 @@ class LakeTable:
         new_files = {
             b: [{**f, "collapsed": True} for f in fs]
             for b, fs in self._write_files(
-                merged, snap, snap["current_schema_id"], rows_hint=fold_rows
+                merged, snap, snap["current_schema_id"], rows_hint=fold_rows,
+                cluster_by_key=True,
             ).items()
         }
 
@@ -1345,6 +1415,7 @@ class LakeTable:
                 snap,
                 snap["current_schema_id"],
                 rows_hint=sum(f["rows"] for f in entries),
+                cluster_by_key=True,
             ).items()
         }
         buckets = {
@@ -1414,7 +1485,9 @@ class LakeTable:
         total = sum(f["rows"] for fl in snap["buckets"].values() for f in fl)
         new_files = {
             b: [{**f, "collapsed": True} for f in fs]
-            for b, fs in self._write_files(df, snap, sid, rows_hint=total or None).items()
+            for b, fs in self._write_files(
+                df, snap, sid, rows_hint=total or None, cluster_by_key=True
+            ).items()
         }
         payload = {
             **self._carry(snap),

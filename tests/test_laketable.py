@@ -433,6 +433,45 @@ def test_read_keys_point_lookup_prunes_buckets(spark, tmp_path):
     assert t.read_keys([]).count() == 0
 
 
+def test_read_keys_zone_map_prunes_files_within_bucket(spark, tmp_path):
+    """Compaction output is range-clustered and sorted on the leading
+    key, and each file records a [kmin, kmax] zone map; read_keys skips
+    files inside a bucket whose zone excludes every probed key — the
+    Iceberg sorted-rewrite + column-stats skip for multi-file buckets."""
+
+    def batch(prefix, n, lsn0):
+        return spark.range(n).select(
+            F.format_string(prefix + "%05d", "id").alias("url"),
+            F.lit("t").alias("text"),
+            (F.col("id") + lsn0).alias("__lsn"),
+            F.lit(False).alias("__deleted"),
+        )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "zm"), SCHEMA, key_col="url", num_buckets=1,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    # 120k rows in two disjoint key ranges → the fold range-splits the
+    # single bucket into ~3 files with DISJOINT key zones; with 1 hash
+    # bucket the zone map is the only file-level discrimination left
+    t.merge(batch("a", 60_000, 0))
+    t.merge(batch("z", 60_000, 100_000))
+    t.compact_deltas()
+    entries = t.file_entries()
+    assert len(entries) >= 2 and all("kmin" in f for f in entries)
+    a_files = t.file_entries(key_values=["a00005"])
+    z_files = t.file_entries(key_values=["z00005"])
+    assert len(a_files) < len(entries) and len(z_files) < len(entries)
+    assert all(not f["kmin"].startswith("z") for f in a_files)
+    # correctness unchanged, incl. LWW over a later (un-zoned) delta
+    t.merge(_batch(spark, [("a00005", "t-new", 999_999, False)]))
+    got = {r["url"]: r["text"] for r in t.read_keys(["a00005", "z00007"]).collect()}
+    assert got == {"a00005": "t-new", "z00007": "t"}
+    # a probe value of a different type can't be compared to the zone
+    # bounds — those files must be KEPT, not mis-pruned
+    assert len(t.file_entries(key_values=[123])) == len(t.file_entries())
+
+
 def test_changes_incremental_changelog(spark, tmp_path):
     """changes(since) returns exactly the rows landed by commits after
     `since` (metadata file-diff, tombstones included, maintenance
