@@ -3,11 +3,13 @@ with typed metadata, processed via Arrow `mapInPandas` batches.
 
 Decode status, honestly:
   * REAL, no external codec needed: uncompressed 24-bit BMP and binary
-    PPM images (header parsing + numpy), RIFF/WAV PCM audio (stdlib
-    `wave` + numpy) — exact dimensions/means/RMS, pytest-checked
-    against hand-built files.
+    PPM images (header parsing + numpy), non-interlaced 8-bit PNG
+    (stdlib zlib inflate + all five scanline filters undone in
+    numpy/int loops), RIFF/WAV PCM audio (stdlib `wave` + numpy) —
+    exact dimensions/means/RMS, pytest-checked against hand-built
+    files.
   * FAKE (deterministic, clearly marked): everything that needs a codec
-    library this container lacks (jpeg/png, mp3/ogg, all video).
+    library this container lacks (jpeg, mp3/ogg, all video).
     `real_decode=True` makes those raise NotImplementedError instead.
 Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
 partitioning — is real and tested, so swapping in Pillow/ffmpeg later
@@ -83,6 +85,89 @@ def _decode_bmp(b: bytes):
     return w, abs(h), arr.reshape(-1)
 
 
+def _decode_png(b: bytes):
+    """REAL decode of non-interlaced 8-bit RGB/RGBA/grayscale PNG —
+    stdlib zlib inflates the IDAT stream, the five scanline filters
+    (None/Sub/Up/Average/Paeth) are undone with numpy per row. No codec
+    library: PNG's only compression is DEFLATE, which Python ships.
+    Returns (w, h, flat uint8 pixels — RGBA alpha stripped) or None if
+    the payload isn't a PNG."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):  # filters chain row-to-row
+        cur = data[y]
+        ft = int(filters[y])
+        up = out[y - 1] if y else zero
+        if ft == 0:
+            out[y] = cur
+        elif ft == 1:
+            # Sub (left neighbor): per-channel prefix sum mod 256 —
+            # ((a+b) mod 256 + c) mod 256 == (a+b+c) mod 256, so one
+            # uint32 cumsum + truncation vectorizes the recurrence
+            out[y] = (
+                np.cumsum(cur.reshape(-1, nch).astype(np.uint32), axis=0)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ft == 2:  # Up: vectorized (uint8 addition wraps mod 256)
+            out[y] = cur + up
+        elif ft in (3, 4):
+            # Average/Paeth depend on the just-reconstructed left byte —
+            # inherently sequential along x; plain-int row loop (a real
+            # codec runs the same loop in C)
+            cur_l, up_l = cur.tolist(), up.tolist()
+            res = [0] * stride
+            for x in range(stride):
+                left = res[x - nch] if x >= nch else 0
+                u = up_l[x]
+                if ft == 3:
+                    pred = (left + u) >> 1
+                else:
+                    ul = up_l[x - nch] if x >= nch else 0
+                    p = left + u - ul
+                    pa, pb, pc = abs(p - left), abs(p - u), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (u if pb <= pc else ul)
+                res[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = np.array(res, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+    px = out.reshape(h, w, nch)
+    if nch == 4:
+        px = px[:, :, :3]  # strip alpha: intensity semantics match BMP/PPM
+    return w, h, np.ascontiguousarray(px).reshape(-1)
+
+
 def _decode_ppm(b: bytes):
     """REAL decode of binary PPM (P6). Returns (w, h, flat uint8 pixels)
     or None if not a PPM."""
@@ -115,7 +200,7 @@ def _real_or_fake_pixels(payload: bytes, meta_w: int, meta_h: int, strict: bool)
     formats that need a codec; strict=False never fails — a malformed
     or zero-area payload that merely sniffs like BMP/PPM falls back to
     the fake (one bad row must not kill the Spark task)."""
-    for dec in (_decode_bmp, _decode_ppm):
+    for dec in (_decode_bmp, _decode_ppm, _decode_png):
         try:
             out = dec(payload)
         except Exception:
@@ -128,8 +213,9 @@ def _real_or_fake_pixels(payload: bytes, meta_w: int, meta_h: int, strict: bool)
             return out
     if strict:
         raise NotImplementedError(
-            "compressed image codecs (jpeg/png) are not installed in this container; "
-            "uncompressed BMP/PPM decode IS real — see _decode_bmp/_decode_ppm"
+            "jpeg needs a codec library this container lacks; BMP/PPM "
+            "(header+numpy) and PNG (stdlib zlib inflate + numpy "
+            "unfiltering) decodes ARE real — see _decode_bmp/_decode_ppm/_decode_png"
         )
     return meta_w, meta_h, _fake_pixels(payload, meta_w * meta_h)
 
@@ -140,10 +226,11 @@ DECODED_SCHEMA = "media_id long, width int, height int, mean_intensity double"
 def decode_images(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """binary → decoded stats, Arrow batch at a time (mapInPandas).
 
-    Self-describing uncompressed formats (24-bit BMP, binary PPM) are
-    REALLY decoded — pure header parsing + numpy, no codec library.
-    Other payloads use the deterministic fake; real_decode=True makes
-    them raise instead (jpeg/png need codecs this container lacks)."""
+    Self-describing formats (24-bit BMP, binary PPM, non-interlaced
+    8-bit PNG) are REALLY decoded — header parsing + stdlib zlib +
+    numpy, no codec library. Other payloads use the deterministic
+    fake; real_decode=True makes them raise instead (jpeg needs a
+    codec this container lacks)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -142,3 +142,105 @@ def test_non_strict_decode_never_fails_on_malformed_payloads(spark):
     # strict mode surfaces the malformed payloads instead
     with pytest.raises(Exception):
         decode_images(df, real_decode=True).collect()
+
+
+def _make_png(px, filters, color_type):
+    """Independent PNG ENCODER (test-side): filter each scanline per the
+    spec, deflate with zlib, emit IHDR/IDAT/IEND with CRCs — so the
+    engine's decoder is round-trip-checked against a second
+    implementation, not against itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    flat = px.reshape(h, w * nch).astype(int)
+    prev = [0] * (w * nch)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        cur = flat[y].tolist()
+        for x in range(w * nch):
+            left = cur[x - nch] if x >= nch else 0
+            up = prev[x]
+            ul = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            raw.append((cur[x] - pred) & 0xFF)
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_real_decode_all_filters():
+    """_decode_png reconstructs exact pixels through every scanline
+    filter (None/Sub/Up/Average/Paeth), strips RGBA alpha, handles
+    grayscale, and rejects non-PNG payloads."""
+    import numpy as np
+
+    from debezium_server_batch_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    w, h, flat = _decode_png(_make_png(px, [0, 1, 2, 3, 4], 2))
+    assert (w, h) == (4, 5)
+    assert np.array_equal(flat, px.reshape(-1))
+    px4 = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    w, h, flat = _decode_png(_make_png(px4, [4, 3, 1], 6))
+    assert (w, h) == (3, 3)
+    assert np.array_equal(flat, px4[:, :, :3].reshape(-1))  # alpha stripped
+    g = rng.integers(0, 256, size=(2, 6, 1), dtype=np.uint8)
+    w, h, flat = _decode_png(_make_png(g, [2, 4], 0))
+    assert (w, h) == (6, 2)
+    assert np.array_equal(flat, g.reshape(-1))
+    assert _decode_png(b"not a png") is None
+    with pytest.raises(NotImplementedError):  # interlaced → honest gate
+        import struct as _s
+        import zlib as _z
+
+        ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        _decode_png(bad)
+
+
+def test_decode_images_png_real_through_spark(spark):
+    """End-to-end: a hand-encoded PNG through decode_images under
+    real_decode=True yields exact dimensions and mean intensity."""
+    import numpy as np
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    png = _make_png(px, [1, 4, 2, 3], 2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), (None, None, None, "png"))], MEDIA_SCHEMA
+    )
+    r = decode_images(df, real_decode=True).collect()[0]
+    assert (r["width"], r["height"]) == (6, 4)
+    assert r["mean_intensity"] == pytest.approx(px.astype(float).mean())
