@@ -223,6 +223,38 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_orders_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's NEXT order
+    (o_orderdate >= ts) — the mirror traversal, same single-shuffle
+    plan (operators/relational.asof_join direction='forward')."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumnRenamed("o_custkey", "user_id")
+        .groupBy("user_id", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "ts_ms"),
+        orders,
+        by="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("asof_o_orderkey").alias("next_orderkey"),
+        F.round("asof_o_totalprice", 6).alias("next_order_price"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality gate: keep docs above fixed thresholds."""
     docs = _read(spark, sf_dir, "documents")
@@ -414,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "topk_per_user": q_topk_per_user,
         "asof_join_orders": q_asof_join_orders,
+        "asof_join_orders_forward": q_asof_join_orders_forward,
         "quality_filter": q_quality_filter,
         "neardup_canonical": q_neardup_canonical,
         "ivf_topk": q_ivf_topk,
@@ -740,6 +773,19 @@ def oracle_sql() -> dict[str, str]:
                    round(o.o_totalprice, 6) AS last_order_price
             FROM events e
             ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        "asof_join_orders_forward": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                   o.o_orderkey AS next_orderkey,
+                   round(o.o_totalprice, 6) AS next_order_price
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
         """,
     }
 

@@ -95,15 +95,19 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    right_ts <= left_ts (direction='backward') within the same `by` key.
+    right_ts <= left_ts (direction='backward'), or the earliest right
+    row with right_ts >= left_ts (direction='forward'), within the same
+    `by` key.
 
     Physical shape: tag + unionByName + `last(ignorenulls)` over a
     (by, ts, tag) window — a single shuffle on `by`, linear in
-    |left|+|right| (no range cross-product). Right-side ties on equal
-    ts resolve to the last in (ts, tie) order, deterministically.
+    |left|+|right| (no range cross-product). Forward is the mirror:
+    identical plan over a descending ts traversal. An exactly-
+    simultaneous right row is visible to the left row in BOTH
+    directions (right sorts before left at equal ts).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.select(
         F.col(by).alias("_by"),
         F.col(left_ts).alias("_ts"),
@@ -124,10 +128,12 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (tag 0 < 1) so an
-    # exactly-simultaneous right row IS visible to the left row
+    # exactly-simultaneous right row IS visible to the left row;
+    # forward = the same prefix-scan over descending ts
+    order_ts = F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc()
     w = (
         Window.partitionBy("_by")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(order_ts, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = u.withColumn("_asof", F.last("_rrow", ignorenulls=True).over(w))

@@ -65,5 +65,36 @@ def test_asof_join_backward(spark):
 def test_asof_join_simultaneous_right_visible(spark):
     left = spark.createDataFrame([(1, _ts(3), "e")], "k long, ts timestamp, name string")
     right = spark.createDataFrame([(1, _ts(3), 7)], "k long, rts timestamp, payload int")
-    out = asof_join(left, right, by="k", left_ts="ts", right_ts="rts", right_cols=["payload"])
-    assert out.first()["asof_payload"] == 7
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, by="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"], direction=direction,
+        )
+        assert out.first()["asof_payload"] == 7
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: EARLIEST right row at/after each left ts — the
+    mirror traversal of backward, same single-shuffle plan."""
+    left = spark.createDataFrame(
+        [(1, _ts(5), "e1"), (1, _ts(20), "e2"), (1, _ts(2), "e0"), (2, _ts(5), "x")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 100), (1, _ts(10), 200), (3, _ts(0), 999)],
+        "k long, rts timestamp, payload int",
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="ts", right_ts="rts",
+        right_cols=["payload"], direction="forward",
+    )
+    got = {r["name"]: r["asof_payload"] for r in out.collect()}
+    assert got["e0"] == 100  # earliest right at/after t=2 is t=3
+    assert got["e1"] == 200  # earliest right at/after t=5 is t=10
+    assert got["e2"] is None  # nothing after t=20
+    assert got["x"] is None  # key 2 has no right rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, by="k", left_ts="ts", right_ts="rts",
+                  right_cols=["payload"], direction="nearest")
