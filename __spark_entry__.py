@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from debezium_server_batch_spark.functions.text import (  # noqa: E402
+    repetition_features,
     lang_id,
     quality_features,
     token_count,
@@ -104,6 +105,22 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
         F.round(f["digit_ratio"], 6).alias("digit_ratio"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document — duplicate-word
+    ratio, dominant-bigram share, longest same-token run (an
+    aggregate() fold). Pure higher-order built-in expressions; the
+    oracle recomputes the runs with gaps-and-islands SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    f = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["dup_word_ratio"], 6).alias("dup_word_ratio"),
+        F.round(f["top_bigram_ratio"], 6).alias("top_bigram_ratio"),
+        f["max_word_run"].alias("max_word_run"),
     )
 
 
@@ -436,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "topk_cosine": q_topk_cosine,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -563,6 +581,43 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE,
                          6) AS stopword_ratio
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(words) AS word,
+                     generate_subscripts(words, 1) AS ord
+              FROM w
+            ), runs AS (
+              SELECT doc_id, word, ord,
+                     ord - row_number() OVER (PARTITION BY doc_id, word ORDER BY ord) AS grp
+              FROM toks
+            ), max_run AS (
+              SELECT doc_id, max(cnt) AS max_word_run FROM (
+                SELECT doc_id, word, grp, count(*) AS cnt
+                FROM runs GROUP BY doc_id, word, grp
+              ) GROUP BY doc_id
+            ), bg AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+              FROM toks
+            ), top AS (
+              SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+              ) GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   len(w.words) AS n_words,
+                   round((len(w.words) - len(list_distinct(w.words)))
+                         / greatest(len(w.words), 1)::DOUBLE, 6) AS dup_word_ratio,
+                   round(coalesce(t.topc / t.totc::DOUBLE, 0), 6) AS top_bigram_ratio,
+                   coalesce(m.max_word_run, 0)::BIGINT AS max_word_run
+            FROM w
+            LEFT JOIN top t USING (doc_id)
+            LEFT JOIN max_run m USING (doc_id)
         """,
         "lang_id": """
             WITH c AS (

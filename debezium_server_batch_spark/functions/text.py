@@ -106,6 +106,67 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style repetition signals — the document-level filters a
+    training-data pipeline runs before dedup. All built-in expressions
+    (higher-order array functions; zero Python in the row path):
+
+      * n_words          — whitespace token count
+      * dup_word_ratio   — fraction of tokens that repeat an earlier one
+      * top_bigram_ratio — share of all word-bigram occurrences taken by
+                           the most frequent bigram (boilerplate smell)
+      * max_word_run     — longest consecutive same-token run, via an
+                           aggregate() fold with a struct accumulator
+
+    The distinct×occurrence counting is O(B²) per document in the worst
+    case, but B is the document's own token count — per-row work,
+    embarrassingly parallel, no shuffle."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    n_d = F.greatest(n.cast("double"), F.lit(1.0))
+    dup_word_ratio = (n - F.size(F.array_distinct(words))) / n_d
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    top_bigram_ratio = F.when(
+        nb > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        )
+        / nb.cast("double"),
+    ).otherwise(F.lit(0.0))
+    max_word_run = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return {
+        "n_words": n,
+        "dup_word_ratio": dup_word_ratio,
+        "top_bigram_ratio": top_bigram_ratio,
+        "max_word_run": max_word_run,
+    }
+
+
 def quality_score(text: Column) -> Column:
     """Scalar quality score in [0,1]: high alpha ratio, sane token length,
     some stopwords, low digit/punct noise."""
