@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--storage", default="posix", choices=["posix", "condput"])
     m.add_argument("--incremental", action="store_true",
                    help="minor compaction: fold outstanding deltas only (O(deltas), not O(table))")
+    m.add_argument("--sort", action="store_true",
+                   help="incremental mode: range-cluster + sort folded buckets on the key "
+                   "(disjoint zone maps; ~3x fold cost — the read-optimize pass)")
     m.add_argument("--purge-tombstones", action="store_true")
     m.add_argument("--vacuum-keep", type=int, default=2)
 
@@ -184,7 +187,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.purge_tombstones:
                 t.purge_tombstones()
             if args.incremental:
-                t.compact_deltas()
+                t.compact_deltas(sort=args.sort)
             else:
                 t.compact()
             removed = t.vacuum(keep_last=args.vacuum_keep)

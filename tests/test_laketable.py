@@ -456,7 +456,7 @@ def test_read_keys_zone_map_prunes_files_within_bucket(spark, tmp_path):
     # bucket the zone map is the only file-level discrimination left
     t.merge(batch("a", 60_000, 0))
     t.merge(batch("z", 60_000, 100_000))
-    t.compact_deltas()
+    t.compact_deltas(sort=True)  # sorted clustering: the read-optimize pass
     entries = t.file_entries()
     assert len(entries) >= 2 and all("kmin" in f for f in entries)
     a_files = t.file_entries(key_values=["a00005"])
