@@ -874,3 +874,72 @@ def test_bucketed_fold_does_not_resurrect_intra_file_duplicates(spark, tmp_path)
     t.compact()
     assert t.snapshot()["needs_collapse"] is False
     assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "new"}
+
+
+def test_commit_crash_atomicity_fuzz(spark, tmp_path):
+    """Crash-consistency fuzz for the commit protocol: a storage-layer
+    failure injected at EVERY mutating metadata operation index
+    (manifest writes, the version claim, vacuum deletes) must leave the
+    table readable at a committed version — the batch either landed
+    fully or not at all — and a retried merge + vacuum converge to the
+    exact final state with orphans reclaimed."""
+    from debezium_server_batch_spark.plans.storage import PosixStorage
+
+    class FlakyStorage(PosixStorage):
+        def __init__(self, budget):
+            self.budget = budget
+
+        def _spend(self):
+            self.budget -= 1
+            if self.budget < 0:
+                raise OSError("injected storage crash")
+
+        def write_text(self, path, data):
+            self._spend()
+            return super().write_text(path, data)
+
+        def claim(self, path, data):
+            self._spend()
+            return super().claim(path, data)
+
+        def delete(self, path):
+            self._spend()
+            return super().delete(path)
+
+    b1 = [("a", "t1", 1, False), ("b", "t1", 2, False)]
+    b2 = [("a", "t2", 3, False), ("c", "t1", 4, False)]
+    expect_after = {("a", "t2"), ("b", "t1"), ("c", "t1")}
+    crashed_at_least_once = False
+    for crash_at in range(0, 6):
+        root = str(tmp_path / f"fz{crash_at}")
+        t = LakeTable.create(
+            spark, root, SCHEMA, key_col="url", num_buckets=2,
+            order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+        )
+        t.merge(_batch(spark, b1))
+        before = {(r["url"], r["text"]) for r in t.read().collect()}
+
+        flaky = LakeTable(spark, root, storage=FlakyStorage(crash_at))
+        try:
+            flaky.merge(_batch(spark, b2))
+        except OSError:
+            crashed_at_least_once = True
+        # whatever happened, the table is readable at a committed version
+        t2 = LakeTable.load(spark, root)
+        state = {(r["url"], r["text"]) for r in t2.read().collect()}
+        assert state in (before, expect_after)
+        if state == before:
+            t2.merge(_batch(spark, b2))  # at-least-once redelivery
+        assert {(r["url"], r["text"]) for r in t2.read().collect()} == expect_after
+        # crash mid-vacuum: partial deletes may only touch DEAD files
+        t2.compact_deltas()
+        flaky_v = LakeTable(spark, root, storage=FlakyStorage(crash_at))
+        try:
+            flaky_v.vacuum(keep_last=1, orphan_grace_s=0.0)
+        except OSError:
+            crashed_at_least_once = True
+        assert {(r["url"], r["text"]) for r in LakeTable.load(spark, root).read().collect()} == expect_after
+        # healthy vacuum reclaims the crashed attempt's orphans
+        LakeTable.load(spark, root).vacuum(keep_last=1, orphan_grace_s=0.0)
+        assert {(r["url"], r["text"]) for r in LakeTable.load(spark, root).read().collect()} == expect_after
+    assert crashed_at_least_once  # the budgets actually exercised failures
