@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from debezium_server_batch_spark.functions.text import (  # noqa: E402
     repetition_features,
+    top_bigram_ratio,
     lang_id,
     quality_features,
     token_count,
@@ -115,12 +116,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the runs with gaps-and-islands SQL."""
     docs = _read(spark, sf_dir, "documents")
     f = repetition_features(F.col("text"))
-    return docs.select(
+    per_doc = docs.select(
         "doc_id",
         f["n_words"].alias("n_words"),
         F.round(f["dup_word_ratio"], 6).alias("dup_word_ratio"),
-        F.round(f["top_bigram_ratio"], 6).alias("top_bigram_ratio"),
         f["max_word_run"].alias("max_word_run"),
+    )
+    # dominant-bigram share via the LINEAR explode+agg plan (the
+    # row-expression variant is O(tokens²) per doc: 24 s vs ~1 s here)
+    bg = top_bigram_ratio(docs, "doc_id", "text").select(
+        "doc_id", F.round("top_bigram_ratio", 6).alias("top_bigram_ratio")
+    )
+    return per_doc.join(bg, "doc_id").select(
+        "doc_id", "n_words", "dup_word_ratio", "top_bigram_ratio", "max_word_run"
     )
 
 
