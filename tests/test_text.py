@@ -80,3 +80,34 @@ def test_fingerprint_deterministic(spark):
     df = spark.createDataFrame([("same",), ("same",), ("diff",)], "t string")
     fps = [r[0] for r in df.select(fingerprint64(F.col("t"))).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_repetition_features_and_top_bigram(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_server_batch_spark.functions.text import (
+        repetition_features,
+        top_bigram_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "w1 w2 w1 w2 w1"), (4, "")],
+        "doc_id long, text string",
+    )
+    f = repetition_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            f["n_words"].alias("n"),
+            F.round(f["dup_word_ratio"], 6).alias("d"),
+            f["max_word_run"].alias("m"),
+        ).collect()
+    }
+    assert (rows[1]["n"], rows[1]["m"], rows[1]["d"]) == (4, 3, 0.5)  # run of 3 a's
+    assert (rows[2]["n"], rows[2]["m"], rows[2]["d"]) == (1, 1, 0.0)  # single token
+    assert (rows[3]["m"], rows[3]["d"]) == (1, 0.6)  # alternation: no runs, heavy dup
+    bg = {r["doc_id"]: r["top_bigram_ratio"] for r in top_bigram_ratio(df).collect()}
+    assert bg[2] == 0.0 and bg[4] == 0.0  # <2 tokens → no bigrams
+    assert bg[1] == pytest.approx(2 / 3)  # "a a" twice of 3 bigrams
+    assert bg[3] == pytest.approx(0.5)  # "w1 w2" twice of 4 bigrams
