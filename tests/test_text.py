@@ -83,6 +83,7 @@ def test_fingerprint_deterministic(spark):
 
 
 def test_repetition_features_and_top_bigram(spark):
+    import pytest
     from pyspark.sql import functions as F
 
     from debezium_server_batch_spark.functions.text import (
