@@ -1,0 +1,68 @@
+"""Chained CDC pipelines (medallion bronze→silver): incrementally sync
+a downstream LakeTable from an upstream one via `changes()`, exactly
+once.
+
+The reference stops at one hop (source → sink table). At 10^10 rows the
+thing a user builds NEXT is a derived table (cleaned/filtered/conformed)
+that must follow the upstream WITHOUT re-scanning it — Iceberg's
+incremental-scan consumption pattern. This module is that hop:
+
+    sync_incremental(bronze, silver)        # once per maintenance tick
+
+Exactly-once comes from the same trick as the ingest runner (SURVEY.md
+W9): the consumed upstream version rides in the SAME atomic snapshot
+commit as the data it produced (`checkpoint={"src_version": v}`), so a
+crash between reading changes and committing re-runs the whole step,
+and the destination's order-guarded LWW merge makes the redo a no-op.
+
+Scale shape: the step reads ONLY the files upstream commits added in
+(since, cur] — O(new data) planning and scan (laketable.changes);
+tombstones flow through (they ARE delete events), so downstream deletes
+track upstream deletes; the merge is the destination's normal
+bucket-pruned MoR/CoW path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.dedup import lww_agg
+from .laketable import LakeTable
+
+
+def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
+    """One incremental sync step from `src` into `dst`.
+
+    * First call (no `src_version` in dst's checkpoint): bootstrap — a
+      full read of src at its current version, tombstones included.
+    * Later calls: `src.changes(last_synced, cur)` — only the rows new
+      commits added, per-key LWW-collapsed (a key updated twice since
+      the last sync merges once, with its newest version).
+    * `transform(df) -> df`: optional row-level cleanup applied before
+      the merge (filters/projections; must keep dst's key and order_by
+      columns).
+
+    Returns {"src_version", "rows_synced", "noop"}. Calling again with
+    no new upstream commits is a no-op (and a crashed step re-runs
+    idempotently — the checkpoint only advances with its data)."""
+    cur = src.current_version()
+    ck = dst.checkpoint() or {}
+    since = ck.get("src_version", -1)
+    if since == cur:
+        return {"src_version": cur, "rows_synced": 0, "noop": True}
+
+    if since < 0:
+        df: DataFrame = src.read(version=cur, include_deleted=True)
+    else:
+        df = src.changes(since, cur).drop("_commit_version")
+    if transform is not None:
+        df = transform(df)
+
+    snap = dst.snapshot()
+    deduped = lww_agg(df, key=snap["key_col"], order_by=tuple(snap["order_by"]))
+    n = deduped.count()
+    if n == 0:
+        dst.commit_checkpoint({**ck, "src_version": cur})
+        return {"src_version": cur, "rows_synced": 0, "noop": False}
+    dst.merge(deduped, checkpoint={**ck, "src_version": cur}, rows_hint=n)
+    return {"src_version": cur, "rows_synced": n, "noop": False}
