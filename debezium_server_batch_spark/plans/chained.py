@@ -60,9 +60,16 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
 
     snap = dst.snapshot()
     deduped = lww_agg(df, key=snap["key_col"], order_by=tuple(snap["order_by"]))
-    n = deduped.count()
-    if n == 0:
-        dst.commit_checkpoint({**ck, "src_version": cur})
-        return {"src_version": cur, "rows_synced": 0, "noop": False}
-    dst.merge(deduped, checkpoint={**ck, "src_version": cur}, rows_hint=n)
-    return {"src_version": cur, "rows_synced": n, "noop": False}
+    # persist: the plan (changes file-diff scan + CoW anti-joins +
+    # LWW shuffle) feeds BOTH the row count and the merge — without it
+    # the whole incremental read would execute twice per tick
+    deduped = deduped.persist()
+    try:
+        n = deduped.count()
+        if n == 0:
+            dst.commit_checkpoint({**ck, "src_version": cur})
+            return {"src_version": cur, "rows_synced": 0, "noop": False}
+        dst.merge(deduped, checkpoint={**ck, "src_version": cur}, rows_hint=n)
+        return {"src_version": cur, "rows_synced": n, "noop": False}
+    finally:
+        deduped.unpersist()

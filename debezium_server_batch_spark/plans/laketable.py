@@ -617,6 +617,10 @@ class LakeTable:
         snap = self.snapshot(version)
         wanted = set(map(str, buckets)) if buckets is not None else None
         bounds = self._day_bounds(days) if days is not None else None
+        if not key_values:
+            # empty probe list must mean "no zone pruning", not "prune
+            # every zoned file" (all() over [] is vacuously True)
+            key_values = None
         out = []
         for b, files in snap["buckets"].items():
             # "*" = unbucketed delta files: relevant to every bucket
@@ -841,8 +845,22 @@ class LakeTable:
         key0 = self._key_cols(snap)[0]
         back = self.spark.read.parquet(out_dir)
         aggs = [F.count(F.lit(1)).alias("_n")]
-        with_zone = key0 in back.columns and not isinstance(
-            back.schema[key0].dataType, (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+        # zone types: only keys whose min/max come back as JSON-storable
+        # python scalars — anything else (date/timestamp/decimal/binary/
+        # complex) must not even pay the key-column read in the metadata
+        # scan, since its result would be discarded
+        with_zone = key0 in back.columns and isinstance(
+            back.schema[key0].dataType,
+            (
+                T.StringType,
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.ByteType,
+                T.FloatType,
+                T.DoubleType,
+                T.BooleanType,
+            ),
         )
         if with_zone:
             aggs += [F.min(key0).alias("_kmin"), F.max(key0).alias("_kmax")]

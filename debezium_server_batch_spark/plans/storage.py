@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import threading
 import uuid
 from typing import Iterator
 
@@ -112,25 +111,26 @@ class PosixStorage:
 
 class ConditionalPutStorage(PosixStorage):
     """Object-store semantics double: keys live on local disk for Spark
-    interop, but the commit path uses only operations an object store
-    has — no hard links, no renames. claim() emulates a conditional PUT
-    (`If-None-Match: *`): atomic exists-check-and-put, serialized the
-    way the store's backend serializes concurrent conditional PUTs."""
-
-    _lock = threading.Lock()
+    interop, but the CODE UNDER TEST may use only operations an object
+    store has — no renames, no link-based claims, no directory
+    assumptions beyond prefix listing. claim() presents exactly a
+    conditional PUT's contract (`If-None-Match: *`): the object appears
+    fully-written or not at all, atomically, across PROCESSES (a real
+    store serializes server-side; two `run_pipeline.py --storage
+    condput` processes racing on one table must behave the same). The
+    double's own implementation is free to use POSIX internals to
+    reproduce that contract faithfully — tmp-write + hard-link is the
+    only local primitive with both the atomic create-if-absent and the
+    all-or-nothing content visibility a conditional PUT guarantees
+    (an exists-check-then-write emulation is neither: it races across
+    processes and a crash mid-write leaves a truncated object no real
+    store would ever expose)."""
 
     def write_text(self, path: str, data: str) -> None:
         with open(path, "w") as fh:  # PUT: single-shot object write
             fh.write(data)
             fh.flush()
             os.fsync(fh.fileno())
-
-    def claim(self, path: str, data: str) -> bool:
-        with self._lock:
-            if os.path.exists(path):
-                return False
-            self.write_text(path, data)
-            return True
 
 
 class S3Storage:
@@ -175,6 +175,13 @@ class S3Storage:
     def _key(self, path: str) -> str:
         if path.startswith("s3://"):
             rest = path[5:].split("/", 1)
+            if rest[0] != self.bucket:
+                # a URI naming a DIFFERENT bucket must never be silently
+                # remapped into ours (wrong-bucket delete/read)
+                raise ValueError(
+                    f"{path!r} names bucket {rest[0]!r}, but this storage is "
+                    f"bound to {self.bucket!r}"
+                )
             return rest[1] if len(rest) > 1 else ""
         key = path.lstrip("/")
         return f"{self.prefix}/{key}" if self.prefix else key
@@ -189,12 +196,24 @@ class S3Storage:
         resp = self.s3.list_objects_v2(Bucket=self.bucket, Prefix=k, MaxKeys=1)
         return resp.get("KeyCount", 0) > 0
 
+    @staticmethod
+    def _is_not_found(e) -> bool:
+        resp = getattr(e, "response", {}) or {}
+        code = resp.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        err = (resp.get("Error") or {}).get("Code")
+        return code == 404 or err in ("404", "NoSuchKey", "NotFound")
+
     def exists(self, path: str) -> bool:
         try:
             self.s3.head_object(Bucket=self.bucket, Key=self._key(path))
             return True
-        except self.s3.exceptions.ClientError:
-            return False
+        except self.s3.exceptions.ClientError as e:
+            # ONLY a definitive 404 means "absent" — a throttle/auth/5xx
+            # answered as False would e.g. null out a FileSink checkpoint
+            # and replay the whole log as duplicates
+            if self._is_not_found(e):
+                return False
+            raise
 
     def listdir(self, path: str) -> list[str]:
         k = self._key(path).rstrip("/") + "/"

@@ -470,6 +470,8 @@ def test_read_keys_zone_map_prunes_files_within_bucket(spark, tmp_path):
     # a probe value of a different type can't be compared to the zone
     # bounds — those files must be KEPT, not mis-pruned
     assert len(t.file_entries(key_values=[123])) == len(t.file_entries())
+    # an EMPTY probe list means "no zone pruning", not "prune everything"
+    assert len(t.file_entries(key_values=[])) == len(t.file_entries())
 
 
 def test_changes_incremental_changelog(spark, tmp_path):

@@ -87,3 +87,30 @@ def test_lsh_build_once_query_many(emb, query_vec):
     q2 = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
     approx2 = [r["vec_id"] for r in lsh_topk(indexed, q2, k=5, n_planes=8).collect()]
     assert approx2 and approx2[0] == 5
+
+
+def test_assign_expr_matches_arrow_reference(spark):
+    """assign_expr (codegen path used by ivf_build) must agree with the
+    Arrow-UDF reference implementation on the same centroids — keeps the
+    two from silently diverging on tie/argmin semantics."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from debezium_server_batch_spark.operators.similarity import (
+        assign_expr,
+        make_assign_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(4)]
+    vecs = [([float(x) for x in rng.standard_normal(8)],) for _ in range(200)]
+    # include exact-tie rows: a vector EQUAL to a centroid, and a
+    # duplicated centroid (argmin must pick the first)
+    cents[2] = list(cents[1])
+    vecs.append((list(cents[1]),))
+    df = spark.createDataFrame(vecs, "embedding array<float>")
+    both = df.select(
+        assign_expr(cents, "embedding").alias("a"),
+        make_assign_udf(cents)(F.col("embedding")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in both)

@@ -139,3 +139,49 @@ def test_posix_and_condput_claim_contract(tmp_path):
         assert st.claim(p, "first")
         assert not st.claim(p, "second")
         assert st.read_text(p) == "first"
+
+
+def test_s3_exists_propagates_non_404(s3):
+    st, client = s3
+
+    class Throttled(FakeS3Client):
+        def head_object(self, Bucket, Key):
+            raise self.exceptions.ClientError(503)
+
+    st2 = S3Storage("bkt", client=Throttled())
+    with pytest.raises(Throttled._Exceptions.ClientError):
+        st2.exists("t/x.json")  # throttling must NOT read as "absent"
+
+
+def test_s3_rejects_foreign_bucket_uri(s3):
+    st, _ = s3
+    with pytest.raises(ValueError, match="bound to"):
+        st.delete("s3://other-bucket/t/x.json")
+
+
+def test_condput_claim_is_cross_process_atomic(tmp_path):
+    """The double's claim must hold across PROCESSES (a real conditional
+    PUT serializes server-side): N forked writers racing on one version
+    key — exactly one wins, and the winner's content is intact."""
+    import subprocess
+    import sys
+
+    d = tmp_path / "race"
+    d.mkdir()
+    code = f"""
+import sys
+sys.path.insert(0, {str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))!r})
+from debezium_server_batch_spark.plans.storage import ConditionalPutStorage
+st = ConditionalPutStorage()
+print(st.claim({str(d / 'v1.json')!r}, sys.argv[1]), end="")
+"""
+    script = tmp_path / "claimer.py"
+    script.write_text(code)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), f"writer-{i}"], stdout=subprocess.PIPE)
+        for i in range(6)
+    ]
+    outs = [p.communicate()[0].decode() for p in procs]
+    assert sorted(outs).count("True") == 1  # exactly one winner
+    content = (d / "v1.json").read_text()
+    assert content.startswith("writer-")  # intact, single writer's payload
