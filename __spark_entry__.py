@@ -321,15 +321,19 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs — exact all-pairs BASELINE. The
-    broadcast-GEMM candidate pass caps this at driver-memory scale
-    (~10^7 vectors); production runs the sign-LSH scale path instead,
-    which is itself equality-checked as the `embedding_neardup` driver
-    query at a proven recall-1 operating point."""
-    from debezium_server_batch_spark.operators.dedup_fuzzy import exact_cosine_pairs
+    """Exact all-pairs embedding cosine — the DISTRIBUTED block-matrix
+    form (exact_cosine_pairs_blocked): blocks of n/B vectors GEMM
+    pairwise across B(B+1)/2 independent tasks, nothing is collected to
+    the driver, and the built-in-fold verify keeps emitted cosines
+    bit-identical to the SQL oracle. Equality with the small-corpus
+    broadcast baseline (exact_cosine_pairs) is pytest-proven at several
+    block counts; for near-dup MINING at 10^10 scale the sign-LSH
+    `embedding_neardup` path prunes ~150× instead of paying the full
+    O(n²/2) dot products this exact enumeration requires."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import exact_cosine_pairs_blocked
 
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = exact_cosine_pairs(emb, threshold=0.45)
+    pairs = exact_cosine_pairs_blocked(emb, threshold=0.45, n_blocks=16)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cos_sim"))
 
 

@@ -639,6 +639,83 @@ def exact_cosine_pairs(
     )
 
 
+def exact_cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 16,
+    candidate_margin: float = 1e-6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver collect — the
+    distributed block-matrix form of exact_cosine_pairs (which remains
+    the small-corpus oracle baseline).
+
+    Plan: vectors hash into `n_blocks` blocks (collect_list per block —
+    each block is n/B vectors, the ONLY bounded materialization);
+    every unordered block pair (i ≤ j) becomes one task row via a
+    self-join on i ≤ j, and an Arrow kernel GEMMs the two blocks,
+    emitting candidate pairs above threshold − margin (upper triangle
+    inside a diagonal block). Exactness then comes from the SAME
+    built-in sequential-fold verify as the baseline, so output values
+    and the boundary decision are bit-identical to the SQL oracle.
+
+    Scale shape: work is the unavoidable O(n²/2) dot products of an
+    EXACT all-pairs, but distributed over B(B+1)/2 independent tasks;
+    memory per task is two blocks (n/B × dim), and the driver holds
+    nothing. At 10^7 vectors × dim 64 with B=1000: ~5 MB per block,
+    ~500k tasks — embarrassingly parallel. For near-dup mining at that
+    scale prefer embedding_near_dupes (sign-LSH prunes ~150×); this is
+    the exact path when recall must be provably 1 with no operating-
+    point argument."""
+    from ..functions.vectors import cosine
+
+    src = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        F.struct(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")).alias("_e"),
+    )
+    blocks = src.groupBy("_blk").agg(F.collect_list("_e").alias("_vs"))
+    a = blocks.select(F.col("_blk").alias("_ba"), F.col("_vs").alias("_va"))
+    b = blocks.select(F.col("_blk").alias("_bb"), F.col("_vs").alias("_vb"))
+    combos = a.join(b, F.col("_ba") <= F.col("_bb"))
+    cut = threshold - candidate_margin
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for _ba, va, _bb, vb in zip(pdf["_ba"], pdf["_va"], pdf["_bb"], pdf["_vb"]):
+                ids_a = np.fromiter((r["id"] for r in va), dtype=np.int64, count=len(va))
+                ids_b = np.fromiter((r["id"] for r in vb), dtype=np.int64, count=len(vb))
+                ma = np.stack([np.asarray(r["v"], dtype=np.float64) for r in va])
+                mb = np.stack([np.asarray(r["v"], dtype=np.float64) for r in vb])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= cut)
+                pa, pb = ids_a[ii], ids_b[jj]
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                keep = lo < hi  # drops self-pairs; orders pairs canonically
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+
+    # distinct: a diagonal block's GEMM sees each unordered pair twice
+    # (ij and ji) — both normalize to (lo, hi); the candidate set is
+    # tiny (pairs above threshold), so the dedup shuffle is negligible
+    cand = combos.mapInPandas(kernel, "id_a long, id_b long").distinct()
+    e = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def make_sign_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
     """Arrow UDF: embedding → array of `n_tables` LSH bucket ids, one per
     hash table, each from the sign pattern against `n_planes` seeded

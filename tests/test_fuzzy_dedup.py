@@ -313,3 +313,29 @@ def test_bucketed_pairs_invariants(spark):
             rep = min(mem)
             assert {(rep, m) for m in mem if m != rep} <= star  # cluster stays connected
     assert pairs("star", 1000) == ref_full  # generous cap is a no-op
+
+
+def test_blocked_exact_cosine_equals_baseline(spark):
+    """exact_cosine_pairs_blocked (distributed block-GEMM, no driver
+    collect) must emit EXACTLY the baseline's pair set and cosines —
+    including same-block pairs (deduped upper triangle) and cross-block
+    pairs — at several block counts, incl. more blocks than vectors."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import (
+        exact_cosine_pairs,
+        exact_cosine_pairs_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in exact_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    assert base  # non-trivial fixture
+    for n_blocks in (1, 7, 64, 10_000):
+        got = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in exact_cosine_pairs_blocked(
+                emb, threshold=0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == base, f"mismatch at n_blocks={n_blocks}"
