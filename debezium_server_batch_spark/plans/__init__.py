@@ -1,2 +1,2 @@
-from .chained import sync_incremental  # noqa: F401
+from .chained import follow, sync_incremental  # noqa: F401
 from .laketable import LakeTable, SchemaEvolutionError, evolve_schema  # noqa: F401

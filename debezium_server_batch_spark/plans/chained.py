@@ -24,6 +24,8 @@ bucket-pruned MoR/CoW path.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 
 from ..operators.dedup import lww_agg
@@ -73,3 +75,34 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
         return {"src_version": cur, "rows_synced": n, "noop": False}
     finally:
         deduped.unpersist()
+
+
+def follow(
+    src: LakeTable,
+    dst: LakeTable,
+    wait=None,
+    max_ticks: int | None = None,
+    transform=None,
+) -> list[dict]:
+    """Continuous tail-follow of `src` into `dst`: one sync_incremental
+    per tick, paced between ticks by a BatchSizeWait strategy — the
+    SAME pacing family the ingest runner uses (reference F1–F3:
+    No/Dynamic/MaxBatchSizeWait), so a derived-table daemon throttles
+    exactly like the primary consumer (small upstream deltas → back
+    off; full batches → run hot). `max_ticks` bounds the loop for
+    batch/maintenance use; None = run until externally stopped (the
+    daemon shape). Returns the per-tick sync stats."""
+    if wait is None:
+        from ..streaming.pacing import NoBatchSizeWait
+
+        wait = NoBatchSizeWait()
+    stats: list[dict] = []
+    tick = 0
+    while True:
+        t0 = time.monotonic()
+        r = sync_incremental(src, dst, transform=transform)
+        stats.append(r)
+        tick += 1
+        if max_ticks is not None and tick >= max_ticks:
+            return stats
+        wait.wait_ms(r["rows_synced"], int((time.monotonic() - t0) * 1000))

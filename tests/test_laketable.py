@@ -1006,3 +1006,37 @@ def test_chained_pipeline_sync_incremental(spark, tmp_path):
     assert sorted(tuple(r) for r in silver.read().collect()) == sorted(
         tuple(r) for r in scratch.read().collect()
     )
+
+
+def test_follow_loop_paces_and_converges(spark, tmp_path):
+    """follow(): per-tick sync_incremental paced by the BatchSizeWait
+    family — upstream commits landing BETWEEN ticks (injected from the
+    wait hook) are picked up by the next tick; the wait sees each
+    tick's row count."""
+    from debezium_server_batch_spark.plans.chained import follow
+
+    bronze = LakeTable.create(
+        spark, str(tmp_path / "b"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    silver = LakeTable.create(
+        spark, str(tmp_path / "s"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    bronze.merge(_batch(spark, [("a", "t1", 1, False)]))
+
+    class RecordingWait:
+        def __init__(self):
+            self.calls = []
+
+        def wait_ms(self, n_events, elapsed_ms):
+            self.calls.append(n_events)
+            if len(self.calls) == 1:  # upstream keeps moving mid-follow
+                bronze.merge(_batch(spark, [("b", "t1", 2, False)]))
+
+    w = RecordingWait()
+    stats = follow(bronze, silver, wait=w, max_ticks=3)
+    assert [s["rows_synced"] for s in stats] == [1, 1, 0]
+    assert stats[2]["noop"]
+    assert w.calls == [1, 1]  # paced between ticks, not after the last
+    assert {r["url"] for r in silver.read().collect()} == {"a", "b"}

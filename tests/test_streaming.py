@@ -263,3 +263,67 @@ def test_streaming_sessionize_late_event_forms_earlier_session(spark, tmp_path):
         (1, "2024-03-02 09:00:00", "2024-03-02 09:00:00", 1),  # late event: OWN session
         (1, "2024-03-02 12:00:00", "2024-03-02 12:00:00", 1),  # original, closed by timeout
     }
+
+
+def test_streaming_window_stats_matches_batch(spark, tmp_path):
+    """Built-in watermarked windowed aggregation: append mode emits each
+    CLOSED (window, group) rollup exactly once; the still-open trailing
+    window is withheld. Exact expected set asserted (and cross-checked
+    against the batch rollup over the same closed range)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.windowed import streaming_window_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    d = "2024-04-01 "
+    write_file("f0.parquet", [("A", d + "10:05", 1.5), ("B", d + "10:20", 2.0), ("A", d + "11:10", 0.5)])
+    write_file("f1.parquet", [("A", d + "12:40", 1.0)])
+    write_file("f2.parquet", [("B", d + "15:00", 3.0)])  # watermark → 15:00
+
+    stream = spark.readStream.schema("event_type string, ts timestamp_ntz, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        streaming_window_stats(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert got == {
+        ("2024-04-01 10:00:00", "A", 1, 1.5),
+        ("2024-04-01 10:00:00", "B", 1, 2.0),
+        ("2024-04-01 11:00:00", "A", 1, 0.5),
+        ("2024-04-01 12:00:00", "A", 1, 1.0),
+    }  # B@15:00's window is still open — correctly withheld
+
+    # batch cross-check over the closed range: identical rollup
+    batch = streaming_window_stats(
+        spark.read.schema("event_type string, ts timestamp_ntz, value double").parquet(str(src))
+    ).filter(F.col("window_end") <= F.lit("2024-04-01 15:00:00").cast("timestamp"))
+    got_batch = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == got_batch
