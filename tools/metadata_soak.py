@@ -17,7 +17,8 @@ What it proves, with numbers:
   * the meta dir doesn't accumulate: expired headers + dead manifests
     are reclaimed while the writer runs.
 
-Usage: python tools/metadata_soak.py [n_commits=1000] [cores=8]
+Usage: python tools/metadata_soak.py [n_commits=1000] [cores=8] [storage=posix|condput]
+(condput runs the whole soak through the object-store semantics double)
 Prints one JSON line with the soak metrics.
 """
 
@@ -42,11 +43,15 @@ VACUUM_KEEP = 2
 def main() -> None:
     n_commits = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    storage_name = sys.argv[3] if len(sys.argv) > 3 else "posix"
 
     from pyspark.sql import types as T
 
     from debezium_server_batch_spark.plans.laketable import LakeTable
+    from debezium_server_batch_spark.plans.storage import ConditionalPutStorage, PosixStorage
     from debezium_server_batch_spark.session import build_session
+
+    storage = ConditionalPutStorage() if storage_name == "condput" else PosixStorage()
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores)
     root = "/dev/shm/metadata-soak"
@@ -63,6 +68,7 @@ def main() -> None:
     t = LakeTable.create(
         spark, root, schema, key_col="url", num_buckets=8,
         order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+        storage=storage,
     )
     meta_dir = os.path.join(root, "_meta")
 
@@ -73,7 +79,7 @@ def main() -> None:
     def vacuum_loop():
         # a live maintenance daemon racing the appender: default grace
         # window (600 s) must keep every young in-flight/committed file
-        h = LakeTable.load(spark, root)
+        h = LakeTable.load(spark, root, storage=storage)
         while not stop.is_set():
             try:
                 h.vacuum(keep_last=VACUUM_KEEP)
@@ -131,6 +137,7 @@ def main() -> None:
     live_meta_files = len(os.listdir(meta_dir))
 
     out = {
+        "storage": storage_name,
         "commits": n_commits,
         "compactions": n_commits // COMPACT_EVERY + 1,
         "vacuum_runs_concurrent": vacuum_runs["n"],
