@@ -576,6 +576,25 @@ def simhash_near_dupes(
 # ---------------------------------------------------------------------------
 
 
+def _verify_cosine_pairs(
+    df: DataFrame, cand: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Shared exact-verify tail of both all-pairs variants: join the
+    candidate (id_a, id_b) pairs back to their vectors and keep pairs
+    whose BUILT-IN sequential-fold cosine clears the exact threshold —
+    ONE definition of the oracle-bit-parity contract, so the blocked
+    path can never desynchronize from the baseline anchor."""
+    from ..functions.vectors import cosine
+
+    e = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def exact_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -600,8 +619,6 @@ def exact_cosine_pairs(
     The broadcast matrix caps this baseline at driver-memory scale
     (~10^7 vectors); beyond that use embedding_near_dupes (sign-LSH)."""
     import numpy as np
-
-    from ..functions.vectors import cosine
 
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
@@ -630,13 +647,7 @@ def exact_cosine_pairs(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .mapInPandas(gen_pairs, "id_a long, id_b long")
     )
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return (
-        cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
-        .join(e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _verify_cosine_pairs(df, cand, id_col, vec_col, threshold)
 
 
 def exact_cosine_pairs_blocked(
@@ -668,8 +679,6 @@ def exact_cosine_pairs_blocked(
     scale prefer embedding_near_dupes (sign-LSH prunes ~150×); this is
     the exact path when recall must be provably 1 with no operating-
     point argument."""
-    from ..functions.vectors import cosine
-
     src = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
         F.struct(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")).alias("_e"),
@@ -677,7 +686,14 @@ def exact_cosine_pairs_blocked(
     blocks = src.groupBy("_blk").agg(F.collect_list("_e").alias("_vs"))
     a = blocks.select(F.col("_blk").alias("_ba"), F.col("_vs").alias("_va"))
     b = blocks.select(F.col("_blk").alias("_bb"), F.col("_vs").alias("_vb"))
-    combos = a.join(b, F.col("_ba") <= F.col("_bb"))
+    # shuffle_replicate_nl forces a DISTRIBUTED CartesianProduct for the
+    # theta join: without it Spark plans BroadcastNestedLoopJoin whenever
+    # the blocks side estimates small — which collects EVERY block (the
+    # whole corpus) to the driver, re-imposing exactly the memory cap
+    # this function exists to remove (and above the broadcast threshold
+    # the plan would flip shapes silently). The i<=j filter discards the
+    # lower triangle right after the replicate.
+    combos = a.hint("shuffle_replicate_nl").join(b, F.col("_ba") <= F.col("_bb"))
     cut = threshold - candidate_margin
 
     def kernel(batches):
@@ -707,13 +723,7 @@ def exact_cosine_pairs_blocked(
     # (ij and ji) — both normalize to (lo, hi); the candidate set is
     # tiny (pairs above threshold), so the dedup shuffle is negligible
     cand = combos.mapInPandas(kernel, "id_a long, id_b long").distinct()
-    e = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-    return (
-        cand.join(e.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
-        .join(e.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _verify_cosine_pairs(df, cand, id_col, vec_col, threshold)
 
 
 def make_sign_lsh_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):

@@ -83,6 +83,7 @@ def follow(
     wait=None,
     max_ticks: int | None = None,
     transform=None,
+    idle_sleep_s: float = 5.0,
 ) -> list[dict]:
     """Continuous tail-follow of `src` into `dst`: one sync_incremental
     per tick, paced between ticks by a BatchSizeWait strategy — the
@@ -91,7 +92,10 @@ def follow(
     exactly like the primary consumer (small upstream deltas → back
     off; full batches → run hot). `max_ticks` bounds the loop for
     batch/maintenance use; None = run until externally stopped (the
-    daemon shape). Returns the per-tick sync stats."""
+    daemon shape). A no-op tick additionally sleeps `idle_sleep_s`
+    before the wait strategy runs, so an idle upstream with the default
+    NoBatchSizeWait doesn't busy-spin metadata reads. Returns the
+    per-tick sync stats."""
     if wait is None:
         from ..streaming.pacing import NoBatchSizeWait
 
@@ -105,4 +109,6 @@ def follow(
         tick += 1
         if max_ticks is not None and tick >= max_ticks:
             return stats
+        if r["noop"]:
+            time.sleep(idle_sleep_s)
         wait.wait_ms(r["rows_synced"], int((time.monotonic() - t0) * 1000))

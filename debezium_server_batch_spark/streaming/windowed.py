@@ -8,7 +8,11 @@ the standard late-data contract).
 
 Note: append-mode streaming aggregation cannot use count_distinct
 (distinct state is unbounded per window); the rollup sticks to
-count/sum — sums accumulate exact integer/decimal state.
+count/sum — sums accumulate exact decimal(38,6) state (range ~1e32,
+so real-world values never overflow to null mid-aggregation; a NaN
+still nulls per SQL semantics). Null/uncastable event times are
+FILTERED explicitly so batch-mode runs of the same function match the
+streaming watermark operator, which drops null event times itself.
 """
 
 from __future__ import annotations
@@ -30,11 +34,12 @@ def streaming_window_stats(
     (cast back to double for parity with the batch rollup)."""
     return (
         events.withColumn("_ts", F.col(ts).cast("timestamp"))
+        .filter(F.col("_ts").isNotNull())
         .withWatermark("_ts", watermark)
         .groupBy(F.window("_ts", window).alias("w"), F.col(group))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col(value).cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -13,7 +13,8 @@ window a no-op.
 
 Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8]
 (kill windows must exceed JVM boot (~10 s) or no attempt makes progress)
-Prints one JSON line: kills, resumes, events, final_rows, oracle match.
+Prints one JSON line: kills, resumes, elapsed_s, final_rows,
+oracle_rows, exact_match, orphan_files_reclaimed.
 """
 
 from __future__ import annotations
@@ -53,12 +54,19 @@ def main() -> None:
             [sys.executable, os.path.join(REPO, "run_pipeline.py"), "--master", f"local[{cores}]",
              "replay", "--log", log, "--table", table,
              "--batch-events", "4000", "--buckets", "16", "--compact-every", "5"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
         )
         try:
-            out, _ = p.communicate(timeout=timeout)
-            line = [ln for ln in out.decode().splitlines() if ln.startswith("{")][-1]
-            return True, json.loads(line)
+            out, err = p.communicate(timeout=timeout)
+            lines = [ln for ln in out.decode().splitlines() if ln.startswith("{")]
+            if p.returncode != 0 or not lines:
+                # a FAILED resume is exactly the signal this tool exists
+                # to surface — don't mask it as an IndexError
+                raise RuntimeError(
+                    f"replay attempt exited rc={p.returncode} with no stats; "
+                    f"stderr tail:\n{err.decode()[-2000:]}"
+                )
+            return True, json.loads(lines[-1])
         except subprocess.TimeoutExpired:
             p.send_signal(signal.SIGKILL)  # hard kill: no cleanup runs
             p.wait()
