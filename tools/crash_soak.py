@@ -11,7 +11,7 @@ attempt stay unreferenced orphans, the checkpoint only advances with
 its window's data, and the order-guarded merge makes every re-delivered
 window a no-op.
 
-Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8]
+Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8] [storage=posix|condput]
 (kill windows must exceed JVM boot (~10 s) or no attempt makes progress)
 Prints one JSON line: kills, resumes, elapsed_s, final_rows,
 oracle_rows, exact_match, orphan_files_reclaimed.
@@ -35,6 +35,7 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     kill_after = float(sys.argv[2]) if len(sys.argv) > 2 else 18.0
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    storage_name = sys.argv[4] if len(sys.argv) > 4 else "posix"
 
     log = f"/tmp/crash-soak-log-{n_pages}"
     table = "/dev/shm/crash-soak-table"
@@ -52,7 +53,7 @@ def main() -> None:
         = let it finish). Returns (completed, stats|None)."""
         p = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "run_pipeline.py"), "--master", f"local[{cores}]",
-             "replay", "--log", log, "--table", table,
+             "replay", "--log", log, "--table", table, "--storage", storage_name,
              "--batch-events", "4000", "--buckets", "16", "--compact-every", "5"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
         )
@@ -116,6 +117,7 @@ def main() -> None:
     spark.stop()
 
     out = {
+        "storage": storage_name,
         "kills": kills,
         "resumes": attempts - 1,
         "elapsed_s": round(elapsed, 1),
