@@ -134,9 +134,12 @@ def _decode_png(b: bytes):
         elif ft == 1:
             # Sub (left neighbor): per-channel prefix sum mod 256 —
             # ((a+b) mod 256 + c) mod 256 == (a+b+c) mod 256, so one
-            # uint32 cumsum + truncation vectorizes the recurrence
+            # cumsum + truncation vectorizes the recurrence. uint64
+            # accumulator: a uint32 running sum overflows past ~16.8M
+            # pixels/row (255 × w per channel) and would silently corrupt
+            # pathologically wide images
             out[y] = (
-                np.cumsum(cur.reshape(-1, nch).astype(np.uint32), axis=0)
+                np.cumsum(cur.reshape(-1, nch).astype(np.uint64), axis=0)
                 .astype(np.uint8)
                 .reshape(-1)
             )

@@ -387,6 +387,11 @@ class LakeTable:
             snap = build(base)
             snap["version"] = (cur + 1) if cur is not None else 0
             snap["parent"] = cur
+            # per-ATTEMPT uuid: lets an object-store claim() disambiguate
+            # "412 because my own retried first attempt already landed"
+            # from a genuinely lost race by payload comparison (see
+            # S3Storage.claim) — Iceberg's CommitStateUnknown resolution
+            snap["commit_uuid"] = uuid.uuid4().hex
             self._externalize_buckets(snap, base)
             final = os.path.join(meta, f"v{snap['version']:08d}.json")
             # atomic create-if-absent: hard-link O_EXCL on POSIX, a

@@ -124,13 +124,11 @@ class ConditionalPutStorage(PosixStorage):
     all-or-nothing content visibility a conditional PUT guarantees
     (an exists-check-then-write emulation is neither: it races across
     processes and a crash mid-write leaves a truncated object no real
-    store would ever expose)."""
-
-    def write_text(self, path: str, data: str) -> None:
-        with open(path, "w") as fh:  # PUT: single-shot object write
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
+    store would ever expose). write_text is inherited from PosixStorage
+    for the same reason: a PUT is all-or-nothing server-side, and the
+    only local write with that crash profile is tmp + fsync + replace —
+    an in-place open('w') could surface a truncated object after a
+    crash, which a real store never does."""
 
 
 class S3Storage:
@@ -241,6 +239,19 @@ class S3Storage:
         self.s3.put_object(Bucket=self.bucket, Key=self._key(path), Body=data.encode("utf-8"))
 
     def claim(self, path: str, data: str) -> bool:
+        """Conditional PUT with ambiguity resolution. A plain
+        412→False mapping has a false-loss mode: boto3's automatic
+        retries can 412 a conditional PUT whose FIRST attempt actually
+        landed our payload (the response was lost in transit, the retry
+        then sees the key exist) — Iceberg models the analogous state as
+        CommitStateUnknown. Concluding "lost" there makes a rebaseable
+        commit re-apply on top of itself and a rewrite recompute
+        wastefully. So on 412/409 — and on ambiguous transport errors
+        where the PUT may or may not have landed — we GET the object and
+        compare payloads (each LakeTable commit embeds a per-attempt
+        commit_uuid, so payload equality identifies OUR attempt
+        definitively): ours → we won; someone else's → race genuinely
+        lost; GET itself failing → state unknown, re-raise."""
         try:
             self.s3.put_object(
                 Bucket=self.bucket,
@@ -252,8 +263,28 @@ class S3Storage:
         except self.s3.exceptions.ClientError as e:
             code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
             if code in (412, 409):  # PreconditionFailed / ConditionalRequestConflict
-                return False
+                return self._claim_landed(path, data, on_absent=e)
             raise
+        except Exception as e:  # transport-level: timeout / conn reset — outcome unknown
+            if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                raise
+            return self._claim_landed(path, data, on_absent=e)
+
+    def _claim_landed(self, path: str, data: str, on_absent: Exception) -> bool:
+        """True iff the object at `path` holds exactly `data` (our PUT
+        landed despite the error). Absent/unreadable → re-raise the
+        original error: the commit state is genuinely unknown and the
+        caller must not assume either outcome."""
+        try:
+            return self.read_text(path) == data
+        except self.s3.exceptions.ClientError as ge:
+            if self._is_not_found(ge):
+                # key absent after a conditional-PUT failure: for a 412
+                # this means the competing object was deleted in between
+                # (vacuum); for a transport error the PUT never landed.
+                # Either way our claim did not land.
+                raise on_absent from None
+            raise on_absent from ge
 
     def delete(self, path: str) -> None:
         self.s3.delete_object(Bucket=self.bucket, Key=self._key(path))

@@ -159,6 +159,75 @@ def test_s3_rejects_foreign_bucket_uri(s3):
         st.delete("s3://other-bucket/t/x.json")
 
 
+def test_s3_claim_resolves_own_retried_put(s3):
+    """boto3's automatic retries can 412 a conditional PUT whose first
+    attempt actually landed our payload (response lost in transit).
+    claim() must GET-and-compare instead of concluding the race was
+    lost — the CommitStateUnknown resolution."""
+    st, client = s3
+
+    class RetriedPut(FakeS3Client):
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*" and Key not in self.objects:
+                # first attempt lands, response is "lost", auto-retry
+                # sees the key exist → the SDK surfaces one 412
+                self.objects[Key] = Body
+                raise self.exceptions.ClientError(412)
+            super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
+
+    st2 = S3Storage("bkt", client=RetriedPut())
+    assert st2.claim("t/_meta/v1.json", "mine-uuid-abc")  # own payload → won
+    assert not st2.claim("t/_meta/v1.json", "other-uuid")  # genuine loss
+
+
+def test_s3_claim_transport_error_resolution(s3):
+    """A timeout/conn-reset after the PUT may or may not have landed:
+    object present with our payload → True; present with another
+    writer's → False; absent → state unknown, original error re-raised."""
+    st, _ = s3
+
+    class FlakyPut(FakeS3Client):
+        land = True
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*" and Key not in self.objects:
+                if self.land:
+                    self.objects[Key] = Body
+                raise ConnectionResetError("wire dropped mid-response")
+            super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
+
+    client = FlakyPut()
+    st2 = S3Storage("bkt", client=client)
+    assert st2.claim("t/_meta/v1.json", "mine")  # landed → resolved as won
+    client.land = False
+    with pytest.raises(ConnectionResetError):
+        st2.claim("t/_meta/v2.json", "mine")  # never landed → unknown, raise
+
+
+def test_condput_write_text_is_atomic_under_crash(tmp_path, monkeypatch):
+    """write_text must never expose a truncated/partial object at the
+    final key (a real store's PUT is all-or-nothing): the inherited
+    tmp+replace path means a crash anywhere before the rename leaves
+    the previous complete object in place."""
+    import os as _os
+
+    st = ConditionalPutStorage()
+    p = str(tmp_path / "ckpt.json")
+    st.write_text(p, "old-complete")
+
+    class Boom(RuntimeError):
+        pass
+
+    def explode(fd):  # crash after the NEW bytes hit the tmp file,
+        raise Boom()  # before the atomic replace
+
+    monkeypatch.setattr(_os, "fsync", explode)
+    with pytest.raises(Boom):
+        st.write_text(p, "new-half-written")
+    monkeypatch.undo()
+    assert st.read_text(p) == "old-complete"  # final key: old object intact
+
+
 def test_condput_claim_is_cross_process_atomic(tmp_path):
     """The double's claim must hold across PROCESSES (a real conditional
     PUT serializes server-side): N forked writers racing on one version
