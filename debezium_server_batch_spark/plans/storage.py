@@ -131,6 +131,231 @@ class ConditionalPutStorage(PosixStorage):
     crash, which a real store never does."""
 
 
+class StorageTransientError(Exception):
+    """A retryable storage failure: throttle (503/SlowDown), timeout,
+    connection reset, 5xx. The op may or may not have taken effect
+    server-side — exactly the ambiguity a real SDK surfaces after its
+    internal retries are exhausted."""
+
+
+class FlakyStorage:
+    """Chaos decorator for fault-injection soaks: wraps any backend and
+    injects StorageTransientError on the commit-path primitives at
+    `fault_rate`, split between BEFORE the real op (never took effect)
+    and AFTER it (took effect, response lost) — the two halves of the
+    object-store failure model. `stale_list_rate` additionally makes
+    listdir occasionally omit the most recently modified entry (delayed
+    list visibility, the eventual-consistency mode of GCS/legacy S3).
+    Deterministic under `seed`. A test double like ConditionalPutStorage
+    — never a production backend; counters in `.stats` let soaks report
+    injected-fault and amplification numbers."""
+
+    #: primitives that mutate state — eligible for the "landed but the
+    #: response was lost" (after-op) fault mode
+    _MUTATING = {"claim", "write_text", "delete"}
+    _FAULTED = _MUTATING | {"read_text", "listdir", "exists", "mtime"}
+
+    def __init__(self, inner, fault_rate: float = 0.05, stale_list_rate: float = 0.05, seed: int = 0):
+        import random
+
+        self.inner = inner
+        self.fault_rate = fault_rate
+        self.stale_list_rate = stale_list_rate
+        self._rng = random.Random(seed)
+        self._lock = __import__("threading").Lock()
+        self.stats = {"ops": 0, "faults_before": 0, "faults_after": 0, "stale_lists": 0}
+
+    def _call(self, op: str, *args):
+        fn = getattr(self.inner, op)
+        if op not in self._FAULTED:
+            return fn(*args)
+        with self._lock:
+            self.stats["ops"] += 1
+            r = self._rng.random()
+            fault = r < self.fault_rate
+            # mutating ops: half the faults fire after the real op
+            after = fault and op in self._MUTATING and r < self.fault_rate / 2
+            stale = op == "listdir" and not fault and r < self.fault_rate + self.stale_list_rate
+        if fault and not after:
+            with self._lock:
+                self.stats["faults_before"] += 1
+            raise StorageTransientError(f"injected {op} fault (before op)")
+        out = fn(*args)
+        if after:
+            with self._lock:
+                self.stats["faults_after"] += 1
+            raise StorageTransientError(f"injected {op} fault (op landed, response lost)")
+        if stale:
+            out = self._drop_newest(args[0], out)
+        return out
+
+    def _drop_newest(self, path: str, names: list[str]):
+        """Delayed visibility: hide the most recently modified entry —
+        the object a concurrent writer just created."""
+        if len(names) < 2:
+            return names  # never hide the only entry: a reader seeing an
+        try:                # empty meta dir would treat the table as absent
+            import os as _os
+
+            newest = max(names, key=lambda n: self.inner.mtime(_os.path.join(path, n)))
+        except OSError:
+            return names
+        with self._lock:
+            self.stats["stale_lists"] += 1
+        return [n for n in names if n != newest]
+
+    # -- delegated primitives (faulted where it matters) ---------------
+
+    def makedirs(self, path: str) -> None:
+        return self.inner.makedirs(path)
+
+    def isdir(self, path: str) -> bool:
+        return self.inner.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return self._call("exists", path)
+
+    def listdir(self, path: str) -> list[str]:
+        return self._call("listdir", path)
+
+    def read_text(self, path: str) -> str:
+        return self._call("read_text", path)
+
+    def write_text(self, path: str, data: str) -> None:
+        return self._call("write_text", path, data)
+
+    def claim(self, path: str, data: str) -> bool:
+        return self._call("claim", path, data)
+
+    def delete(self, path: str) -> None:
+        return self._call("delete", path)
+
+    def mtime(self, path: str) -> float:
+        return self._call("mtime", path)
+
+    def walk_files(self, root: str):
+        return self.inner.walk_files(root)
+
+    def cleanup_empty_dirs(self, root: str, min_age_s: float = 0.0) -> None:
+        return self.inner.cleanup_empty_dirs(root, min_age_s)
+
+
+class RetryingStorage:
+    """SDK-style retry layer over any backend: bounded exponential
+    backoff on StorageTransientError, with the op-specific idempotence
+    discipline a correct client needs (what boto3's retry handler does
+    for S3, made explicit so the condput double gets the same
+    guarantees):
+
+      * reads/list/exists/mtime — plain retry (idempotent);
+      * write_text — plain retry (same content; manifest/snapshot names
+        are single-writer uuids, checkpoints are last-write-wins);
+      * delete — retry, and FileNotFoundError counts as success (the
+        prior ambiguous attempt deleted it; S3 DELETE of a missing key
+        succeeds the same way);
+      * claim — the CommitStateUnknown resolution (mirrors
+        S3Storage.claim): after an ambiguous attempt, read the key back
+        and compare payloads — ours → we actually won; someone else's →
+        genuinely lost; absent → the PUT never landed, safe to retry.
+        LakeTable commit payloads embed a per-attempt commit_uuid, so
+        equality is definitive.
+
+    Retry amplification is observable via `.stats["retries"]`."""
+
+    def __init__(self, inner, max_attempts: int = 6, base_backoff_s: float = 0.05):
+        self.inner = inner
+        self.max_attempts = max_attempts
+        self.base_backoff_s = base_backoff_s
+        self.stats = {"retries": 0}
+
+    def _retry(self, fn, *args):
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            if attempt:
+                self.stats["retries"] += 1
+                _time.sleep(self.base_backoff_s * (2 ** (attempt - 1)))
+            try:
+                return fn(*args)
+            except StorageTransientError as e:
+                last = e
+        raise last  # retries exhausted — surface the real failure
+
+    # -- pass-throughs -------------------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        return self.inner.makedirs(path)
+
+    def isdir(self, path: str) -> bool:
+        return self.inner.isdir(path)
+
+    def walk_files(self, root: str):
+        return self.inner.walk_files(root)
+
+    def cleanup_empty_dirs(self, root: str, min_age_s: float = 0.0) -> None:
+        return self.inner.cleanup_empty_dirs(root, min_age_s)
+
+    # -- retried primitives --------------------------------------------
+
+    def exists(self, path: str) -> bool:
+        return self._retry(self.inner.exists, path)
+
+    def listdir(self, path: str) -> list[str]:
+        return self._retry(self.inner.listdir, path)
+
+    def read_text(self, path: str) -> str:
+        return self._retry(self.inner.read_text, path)
+
+    def mtime(self, path: str) -> float:
+        return self._retry(self.inner.mtime, path)
+
+    def write_text(self, path: str, data: str) -> None:
+        return self._retry(self.inner.write_text, path, data)
+
+    def delete(self, path: str) -> None:
+        def _del():
+            try:
+                self.inner.delete(path)
+            except FileNotFoundError:
+                pass  # a prior ambiguous attempt already deleted it
+
+        return self._retry(_del)
+
+    def claim(self, path: str, data: str) -> bool:
+        """Claim with CommitStateUnknown resolution. The subtle case: an
+        attempt errors AMBIGUOUSLY (its PUT may have landed), then the
+        retry's conditional PUT sees the key exist and reports False —
+        which would be a FALSE LOSS if the landed object is our own.
+        So once any attempt has been ambiguous, a False can only be
+        concluded by reading the key back and comparing payloads."""
+        import time as _time
+
+        last: Exception | None = None
+        ambiguous = False
+        for attempt in range(self.max_attempts):
+            if attempt:
+                self.stats["retries"] += 1
+                _time.sleep(self.base_backoff_s * (2 ** (attempt - 1)))
+            try:
+                won = self.inner.claim(path, data)
+            except StorageTransientError as e:
+                last = e
+                ambiguous = True  # our PUT may or may not have landed
+            else:
+                if won or not ambiguous:
+                    return won  # clean outcome — decisive as-is
+            # ambiguous history + key apparently taken: decide by content
+            try:
+                return self.inner.read_text(path) == data
+            except FileNotFoundError:
+                continue  # nothing landed yet — safe to re-claim
+            except StorageTransientError as e:
+                last = e
+                continue
+        raise last if last is not None else RuntimeError("claim retries exhausted")
+
+
 class S3Storage:
     """Real S3 backend for the metadata/commit path — every primitive is
     one S3 API call (the mapping ConditionalPutStorage's double models):

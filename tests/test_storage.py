@@ -228,6 +228,115 @@ def test_condput_write_text_is_atomic_under_crash(tmp_path, monkeypatch):
     assert st.read_text(p) == "old-complete"  # final key: old object intact
 
 
+class TestFaultInjection:
+    """FlakyStorage (chaos double) under RetryingStorage (SDK retry
+    discipline): the stack must present exactly the clean backend's
+    contract — every injected transient fault absorbed, claim's
+    exactly-once winner semantics preserved, deletes idempotent."""
+
+    def _stack(self, rate=0.4, seed=1):
+        from debezium_server_batch_spark.plans.storage import (
+            FlakyStorage,
+            RetryingStorage,
+        )
+
+        flaky = FlakyStorage(
+            ConditionalPutStorage(), fault_rate=rate, stale_list_rate=rate, seed=seed
+        )
+        # generous attempt budget: at the test's adversarial 40-50% fault
+        # rates the default 6 could exhaust; production rates are ~5%
+        return RetryingStorage(flaky, max_attempts=20, base_backoff_s=0.0), flaky
+
+    def test_read_write_delete_absorb_faults(self, tmp_path):
+        st, flaky = self._stack()
+        for i in range(60):
+            p = str(tmp_path / f"o{i}.json")
+            st.write_text(p, f"payload-{i}")
+            assert st.read_text(p) == f"payload-{i}"
+            assert st.exists(p)
+            assert isinstance(st.mtime(p), float)
+        for i in range(0, 60, 2):
+            st.delete(str(tmp_path / f"o{i}.json"))
+            assert not st.exists(str(tmp_path / f"o{i}.json"))
+        assert flaky.stats["faults_before"] + flaky.stats["faults_after"] > 10
+
+    def test_claim_exactly_one_winner_per_key_under_faults(self, tmp_path):
+        """Across many seeds: claim returns True exactly when this
+        writer's payload is durably at the key — an after-op fault on a
+        landed claim must resolve as WON (not a false loss), a before-op
+        fault must not phantom-claim."""
+        for seed in range(12):
+            st, _ = self._stack(rate=0.5, seed=seed)
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            for k in range(25):
+                p = str(d / f"v{k}.json")
+                won_a = st.claim(p, f"writer-A-{seed}-{k}")
+                won_b = st.claim(p, f"writer-B-{seed}-{k}")
+                assert won_a and not won_b
+                assert st.read_text(p) == f"writer-A-{seed}-{k}"
+
+    def test_stale_listing_is_transient_not_sticky(self, tmp_path):
+        import os as _os
+        import time as _time
+
+        st, flaky = self._stack(rate=0.0, seed=3)
+        flaky.stale_list_rate = 0.5
+        for i in range(4):
+            st.write_text(str(tmp_path / f"v{i:04d}.json"), "x")
+            _time.sleep(0.01)  # distinct mtimes → deterministic "newest"
+        full = sorted(_os.listdir(tmp_path))
+        seen_full = seen_stale = False
+        for _ in range(40):
+            got = sorted(st.listdir(str(tmp_path)))
+            if got == full:
+                seen_full = True
+            else:
+                seen_stale = True
+                assert got == full[:-1]  # only the NEWEST entry is hidden
+        assert seen_full and seen_stale
+
+    def test_delete_idempotent_after_landed_fault(self, tmp_path):
+        """A delete whose first attempt landed (response lost) must
+        succeed on retry instead of raising FileNotFoundError."""
+        from debezium_server_batch_spark.plans.storage import (
+            FlakyStorage,
+            RetryingStorage,
+            StorageTransientError,
+        )
+
+        class AlwaysAfter(FlakyStorage):
+            fired = False
+
+            def delete(self, path):
+                if not self.fired:
+                    self.inner.delete(path)
+                    type(self).fired = True
+                    raise StorageTransientError("landed, response lost")
+                return self.inner.delete(path)
+
+        st = RetryingStorage(AlwaysAfter(ConditionalPutStorage(), fault_rate=0), base_backoff_s=0.0)
+        p = str(tmp_path / "x.json")
+        st.write_text(p, "v")
+        st.delete(p)  # must not raise despite the double-delete
+        assert not st.exists(p)
+
+    def test_retries_exhausted_surfaces_error(self, tmp_path):
+        from debezium_server_batch_spark.plans.storage import (
+            RetryingStorage,
+            StorageTransientError,
+        )
+
+        class Dead:
+            def read_text(self, path):
+                raise StorageTransientError("hard down")
+
+        st = RetryingStorage(Dead(), max_attempts=3, base_backoff_s=0.0)
+        with pytest.raises(StorageTransientError):
+            st.read_text("t/x.json")
+        assert st.stats["retries"] == 2
+
+
 def test_condput_claim_is_cross_process_atomic(tmp_path):
     """The double's claim must hold across PROCESSES (a real conditional
     PUT serializes server-side): N forked writers racing on one version

@@ -11,8 +11,11 @@ attempt stay unreferenced orphans, the checkpoint only advances with
 its window's data, and the order-guarded merge makes every re-delivered
 window a no-op.
 
-Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8] [storage=posix|condput]
-(kill windows must exceed JVM boot (~10 s) or no attempt makes progress)
+Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8] [storage=posix|condput|flaky]
+(kill windows must exceed JVM boot (~10 s) or no attempt makes progress;
+flaky = condput + ~5%-per-op injected transient faults and stale
+listings under SDK-style retries — SIGKILLs land on an already-degraded
+store, the adversarial double-fault soak)
 Prints one JSON line: kills, resumes, elapsed_s, final_rows,
 oracle_rows, exact_match, orphan_files_reclaimed.
 """

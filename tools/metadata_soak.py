@@ -17,8 +17,11 @@ What it proves, with numbers:
   * the meta dir doesn't accumulate: expired headers + dead manifests
     are reclaimed while the writer runs.
 
-Usage: python tools/metadata_soak.py [n_commits=1000] [cores=8] [storage=posix|condput]
-(condput runs the whole soak through the object-store semantics double)
+Usage: python tools/metadata_soak.py [n_commits=1000] [cores=8] [storage=posix|condput|flaky]
+(condput runs the whole soak through the object-store semantics double;
+flaky = condput + injected transient faults / stale listings at 5%
+per op under the SDK-style retry layer — the degraded-store soak, with
+retry-amplification counters in the report)
 Prints one JSON line with the soak metrics.
 """
 
@@ -48,10 +51,29 @@ def main() -> None:
     from pyspark.sql import types as T
 
     from debezium_server_batch_spark.plans.laketable import LakeTable
-    from debezium_server_batch_spark.plans.storage import ConditionalPutStorage, PosixStorage
+    from debezium_server_batch_spark.plans.storage import (
+        ConditionalPutStorage,
+        FlakyStorage,
+        PosixStorage,
+        RetryingStorage,
+    )
     from debezium_server_batch_spark.session import build_session
 
-    storage = ConditionalPutStorage() if storage_name == "condput" else PosixStorage()
+    fault_rate = float(os.environ.get("SOAK_FAULT_RATE", "0.05"))
+    if storage_name == "flaky":
+        storage = RetryingStorage(
+            FlakyStorage(
+                ConditionalPutStorage(),
+                fault_rate=fault_rate,
+                stale_list_rate=fault_rate,
+                seed=7,
+            ),
+            base_backoff_s=0.01,
+        )
+    elif storage_name == "condput":
+        storage = ConditionalPutStorage()
+    else:
+        storage = PosixStorage()
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores)
     root = "/dev/shm/metadata-soak"
@@ -155,6 +177,14 @@ def main() -> None:
         "final_state_exact": state_ok,
         "final_rows": len(got),
     }
+    if hasattr(storage, "stats"):  # flaky stack: fault + retry counters
+        out["storage_retries"] = storage.stats.get("retries", 0)
+        inner = getattr(storage, "inner", None)
+        if inner is not None and hasattr(inner, "stats"):
+            out["storage_faults"] = inner.stats
+            out["retry_amplification"] = round(
+                1 + storage.stats.get("retries", 0) / max(inner.stats.get("ops", 1), 1), 4
+            )
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
