@@ -230,6 +230,7 @@ class LakeTable:
             "current_schema_id": "0",
             "buckets": {},
             "checkpoint": None,
+            "checkpoints": {},
             "lineage": [],
             "summary": {"operation": "create", "total_rows": 0},
         }
@@ -462,8 +463,33 @@ class LakeTable:
         k = snap["key_col"]
         return [k] if isinstance(k, str) else list(k)
 
-    def checkpoint(self) -> dict | None:
-        return self.snapshot().get("checkpoint")
+    def checkpoint(self, writer: str | None = None) -> dict | None:
+        """Consumer checkpoint: the default slot, or — when `writer` is
+        given — that writer's named slot (concurrent pipelines replaying
+        disjoint offset ranges into one table keep independent
+        positions)."""
+        snap = self.snapshot()
+        if writer:
+            return (snap.get("checkpoints") or {}).get(str(writer))
+        return snap.get("checkpoint")
+
+    @staticmethod
+    def _ckpt_fields(base: dict, checkpoint: dict | None = None) -> dict:
+        """Checkpoint slots to carry into the next snapshot. A checkpoint
+        dict carrying a 'writer' key lands in its own named slot under
+        'checkpoints'; writerless checkpoints use the default 'checkpoint'
+        slot (single-writer layout unchanged). Every OTHER writer's slot
+        always carries forward — including across additive rebases, where
+        build() re-runs on the race winner's base."""
+        slots = dict(base.get("checkpoints") or {})
+        default = base.get("checkpoint")
+        if checkpoint is not None:
+            w = checkpoint.get("writer")
+            if w:
+                slots[str(w)] = checkpoint
+            else:
+                default = checkpoint
+        return {"checkpoint": default, "checkpoints": slots}
 
     def total_rows(self) -> int:
         """Row count from snapshot metadata — no Spark job (the reference
@@ -965,9 +991,111 @@ class LakeTable:
                 "schemas": schemas,
                 "current_schema_id": cur_sid,
                 "buckets": buckets,
-                "checkpoint": checkpoint if checkpoint is not None else base.get("checkpoint"),
+                **self._ckpt_fields(base, checkpoint),
                 "lineage": lineage or [],
                 "summary": summary,
+            }
+
+        return self._commit(build, rebaseable=True)
+
+    def _commit_rewrite(
+        self,
+        snap: dict,
+        consumed: dict[str, list[dict]],
+        replaced: dict[str, list[dict]],
+        summary,
+        schemas: dict | None = None,
+        current_schema_id: str | None = None,
+        needs_collapse_clean: bool = False,
+        checkpoint: dict | None = None,
+        lineage: list[dict] | None = None,
+    ) -> int:
+        """Commit a rewrite computed against `snap` with VALIDATED
+        REBASE onto concurrent winners — Iceberg's RewriteFiles
+        validation, the piece that keeps maintenance alive under
+        continuous ingest. A rewrite's correctness depends only on the
+        exact files it `consumed` (per bucket); if a concurrent commit
+        merely ADDED files (a live MoR appender, a checkpoint, a fold of
+        other buckets), this rewrite still holds — so instead of the
+        recompute-from-winner retry (Spark-job-expensive, and starvable
+        under a fast appender: the recompute keeps losing the next
+        race), the build re-applies the same `replaced` files onto the
+        winner's snapshot as a METADATA-ONLY rebase: drop exactly the
+        consumed entries, keep every file the winner added. Only when a
+        winner touched a consumed file (another compactor folded the
+        same deltas, an overlapping CoW merge) — or evolved the schema
+        concurrently with a schema-evolving rewrite — does it raise
+        ConcurrentCommitError for the caller's full recompute.
+
+        `summary` may be a dict or a callable(buckets)->dict (so row
+        totals are computed from the REBASED bucket state, not the stale
+        base). needs_collapse_clean: the flag value when no winner
+        additions survive; winner-added files re-raise the flag iff the
+        winner had set it."""
+        consumed_paths = {b: {f["path"] for f in fs} for b, fs in consumed.items()}
+        snap_paths = {f["path"] for fs in snap["buckets"].values() for f in fs}
+        my_schemas = schemas if schemas is not None else snap["schemas"]
+        my_sid = current_schema_id if current_schema_id is not None else snap["current_schema_id"]
+        we_evolved = (
+            my_sid != snap["current_schema_id"] or my_schemas.keys() != snap["schemas"].keys()
+        )
+
+        def build(base: dict) -> dict:
+            rebased = base["version"] != snap["version"]
+            if rebased:
+                for b, paths in consumed_paths.items():
+                    have = {f["path"] for f in base["buckets"].get(b, [])}
+                    if not paths <= have:
+                        raise ConcurrentCommitError(
+                            f"table at {self.root} advanced to v{base['version']} and a "
+                            f"concurrent commit touched files this rewrite (base "
+                            f"v{snap['version']}) consumed in bucket {b!r} — recompute "
+                            "from the current snapshot"
+                        )
+                if we_evolved and (
+                    base["current_schema_id"] != snap["current_schema_id"]
+                    or base["schemas"].keys() != snap["schemas"].keys()
+                ):
+                    raise ConcurrentCommitError(
+                        f"concurrent schema evolution at {self.root} races this "
+                        "schema-evolving rewrite — recompute from the current snapshot"
+                    )
+            buckets: dict[str, list[dict]] = {}
+            winner_added = False
+            for b, files in base["buckets"].items():
+                keepers = [f for f in files if f["path"] not in consumed_paths.get(b, ())]
+                winner_added = winner_added or any(f["path"] not in snap_paths for f in keepers)
+                if keepers:
+                    buckets[b] = keepers
+            for b, files in replaced.items():
+                buckets[b] = buckets.get(b, []) + list(files)
+            nc = needs_collapse_clean or (bool(base.get("needs_collapse")) and winner_added)
+            if not nc:
+                # a winner's file ADDED into a bucket we replaced is only
+                # safe when reads LWW-collapse (it would otherwise sit as
+                # an invisible duplicate beside our rewrite of the same
+                # keys) — without the collapse flag, recompute instead
+                for b in replaced:
+                    for f in base["buckets"].get(b, []):
+                        if f["path"] not in snap_paths and f["path"] not in consumed_paths.get(b, ()):
+                            raise ConcurrentCommitError(
+                                f"bucket {b!r} at {self.root} gained files concurrently "
+                                f"with this rewrite (base v{snap['version']}) and the "
+                                "table does not collapse on read — recompute from the "
+                                "current snapshot"
+                            )
+            return {
+                **self._carry(base),
+                "needs_collapse": nc,
+                "schemas": my_schemas if we_evolved else base["schemas"],
+                "current_schema_id": my_sid if we_evolved else base["current_schema_id"],
+                "buckets": buckets,
+                **self._ckpt_fields(base, checkpoint),
+                "lineage": lineage or [],
+                "summary": {
+                    **(summary(buckets) if callable(summary) else summary),
+                    **({"rebased_onto": base["version"]} if rebased else {}),
+                },
             }
 
         return self._commit(build, rebaseable=True)
@@ -1103,25 +1231,24 @@ class LakeTable:
         merged = self._cow_combine(target, source, keys, order_by, evolved)
 
         new_files = self._write_files(merged, snap, sid)
-        buckets = {b: list(files) for b, files in snap["buckets"].items() if b not in set(affected)}
-        for b, files in new_files.items():
-            buckets[b] = files
-        payload = {
-            **self._carry(snap),
-            "schemas": schemas,
-            "current_schema_id": sid,
-            "buckets": buckets,
-            "checkpoint": checkpoint if checkpoint is not None else snap.get("checkpoint"),
-            "lineage": lineage or [],
-            "summary": {
+        # validated rebase: a concurrent commit that only ADDED files
+        # (or rewrote OTHER buckets — disjoint CoW merges commute) keeps
+        # this rewrite valid; touching an affected bucket's consumed
+        # files raises for the recompute-from-winner retry
+        return self._commit_rewrite(
+            snap,
+            consumed={b: snap["buckets"].get(b, []) for b in affected},
+            replaced=new_files,
+            summary=lambda buckets: {
                 "operation": "merge",
                 "affected_buckets": sorted(int(b) for b in affected),
                 "total_rows": sum(f["rows"] for fl in buckets.values() for f in fl),
             },
-        }
-        # CoW rewrites buckets computed from THIS snapshot — a concurrent
-        # commit means lost update, so fail instead of rebasing
-        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
+            schemas=schemas,
+            current_schema_id=sid,
+            checkpoint=checkpoint,
+            lineage=lineage,
+        )
 
     @staticmethod
     def _cow_combine(target: DataFrame, source: DataFrame, keys: list[str], order_by: list[str], out_schema: T.StructType) -> DataFrame:
@@ -1365,29 +1492,23 @@ class LakeTable:
             ).items()
         }
 
-        buckets = {
-            b: list(files)
-            for b, files in snap["buckets"].items()
-            if b != "*" and b not in affected
-        }
-        for b, files in new_files.items():
-            buckets[b] = files
-        payload = {
-            **self._carry(snap),
-            # bucketed files are always key-collapsed; '*' is gone
-            "needs_collapse": False,
-            "schemas": snap["schemas"],
-            "current_schema_id": snap["current_schema_id"],
-            "buckets": buckets,
-            "checkpoint": snap.get("checkpoint"),
-            "lineage": [],
-            "summary": {
+        # validated rebase: deltas appended by a LIVE MoR writer while
+        # this fold ran survive under '*' and re-raise needs_collapse;
+        # only a concurrent touch of the folded files (another
+        # compactor) forces the recompute retry
+        return self._commit_rewrite(
+            snap,
+            consumed={
+                "*": star,
+                **{b: snap["buckets"].get(b, []) for b in affected},
+            },
+            replaced=new_files,
+            summary={
                 "operation": "compact-deltas",
                 "delta_files": len(star),
                 "affected_buckets": sorted(int(b) for b in affected),
             },
-        }
-        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
+        )
 
     def _fold_bucketed(self, snap: dict, sort: bool = False) -> int:
         """Minor compaction for bucketed-delta MoR tables: LWW-collapse
@@ -1421,22 +1542,17 @@ class LakeTable:
             # days-ranged reads regain file-level pruning.
             if not snap.get("needs_collapse"):
                 return snap["version"]
-            payload = {
-                **self._carry(snap),
-                "needs_collapse": False,
-                "schemas": snap["schemas"],
-                "current_schema_id": snap["current_schema_id"],
-                "buckets": {b: list(fs) for b, fs in snap["buckets"].items()},
-                "checkpoint": snap.get("checkpoint"),
-                "lineage": [],
-                "summary": {
+            # metadata-only flag clear; a winner's concurrent additions
+            # re-raise the flag via the rebase's winner_added check
+            return self._commit_rewrite(
+                snap,
+                consumed={},
+                replaced={},
+                summary={
                     "operation": "compact-deltas",
                     "delta_files": 0,
                     "affected_buckets": [],
                 },
-            }
-            return self._commit(
-                lambda base: dict(payload), rebaseable=False, expected_base=snap["version"]
             )
         entries = [f for b in affected for f in snap["buckets"][b]]
         folded = self._collapse(self._read_entries(entries, snap), snap)
@@ -1450,28 +1566,18 @@ class LakeTable:
                 cluster_by_key=sort,
             ).items()
         }
-        buckets = {
-            b: list(fs) for b, fs in snap["buckets"].items() if b not in affected
-        }
-        for b, fs in new_files.items():
-            buckets[b] = fs
-        payload = {
-            **self._carry(snap),
-            # every bucket is now all-collapsed → key-unique table
-            "needs_collapse": False,
-            "schemas": snap["schemas"],
-            "current_schema_id": snap["current_schema_id"],
-            "buckets": buckets,
-            "checkpoint": snap.get("checkpoint"),
-            "lineage": [],
-            "summary": {
+        # every folded bucket is now all-collapsed; winner-added files
+        # (a live bucketed-delta writer) survive the rebase and keep
+        # needs_collapse raised
+        return self._commit_rewrite(
+            snap,
+            consumed={b: snap["buckets"].get(b, []) for b in affected},
+            replaced=new_files,
+            summary={
                 "operation": "compact-deltas",
                 "delta_files": len(entries),
                 "affected_buckets": sorted(int(b) for b in affected),
             },
-        }
-        return self._commit(
-            lambda base: dict(payload), rebaseable=False, expected_base=snap["version"]
         )
 
     def compact(self) -> int:
@@ -1521,18 +1627,16 @@ class LakeTable:
                 df, snap, sid, rows_hint=total or None, cluster_by_key=True
             ).items()
         }
-        payload = {
-            **self._carry(snap),
-            "needs_collapse": False,  # a full rewrite always collapses
-            "schemas": snap["schemas"],
-            "current_schema_id": sid,
-            "buckets": new_files,
-            "checkpoint": snap.get("checkpoint"),
-            "lineage": [],
-            "summary": {"operation": operation},
-        }
-        # full rewrite of the base read at `snap` — same lost-update rule
-        return self._commit(lambda base: dict(payload), rebaseable=False, expected_base=snap["version"])
+        # full rewrite consumed EVERY file at `snap`; a winner that only
+        # appended (live MoR deltas) rebases cleanly — its files survive
+        # and needs_collapse re-raises; a winner that rewrote anything
+        # forces the recompute retry
+        return self._commit_rewrite(
+            snap,
+            consumed={b: list(fs) for b, fs in snap["buckets"].items()},
+            replaced=new_files,
+            summary={"operation": operation},
+        )
 
     def vacuum(self, keep_last: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
         """Delete data files unreferenced by the last `keep_last`

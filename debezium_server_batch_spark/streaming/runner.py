@@ -115,6 +115,17 @@ class PipelineConfig:
     # semantics — the reference's primary deployment is S3
     # (BatchSparkChangeConsumer.java:104-110, shared/S3Minio.java:36-39)
     storage: object | None = None
+    # multi-writer replay: a non-None writer_id gives this pipeline its
+    # own named checkpoint slot in the table snapshot, so N processes can
+    # replay DISJOINT offset ranges of one log into ONE table, each
+    # resuming independently (the order-guarded merge makes cross-writer
+    # commit interleavings irrelevant to the final LWW state).
+    # replay_from / replay_until bound this writer's slice: offsets
+    # o with replay_from <= o <= replay_until (both inclusive, None =
+    # unbounded). LakeTable sink only.
+    writer_id: str | None = None
+    replay_from: int | None = None
+    replay_until: int | None = None
 
 
 @dataclass
@@ -192,18 +203,25 @@ class CdcPipeline:
                 f"cannot create table for {destination!r}: key_col unset and the "
                 "events carry no key-envelope schema to derive a primary key from"
             )
-        return LakeTable.create(
-            self.spark,
-            root,
-            schema=schema,
-            key_col=key,
-            num_buckets=self.cfg.num_buckets,
-            order_by=self.cfg.order_by,
-            merge_mode=self.cfg.merge_mode,
-            partition_ts_col=self.cfg.partition_ts_col,
-            delta_layout=self.cfg.delta_layout,
-            storage=self.storage,
-        )
+        from ..plans.laketable import ConcurrentCommitError
+
+        try:
+            return LakeTable.create(
+                self.spark,
+                root,
+                schema=schema,
+                key_col=key,
+                num_buckets=self.cfg.num_buckets,
+                order_by=self.cfg.order_by,
+                merge_mode=self.cfg.merge_mode,
+                partition_ts_col=self.cfg.partition_ts_col,
+                delta_layout=self.cfg.delta_layout,
+                storage=self.storage,
+            )
+        except ConcurrentCommitError:
+            # two writers raced on CREATE TABLE; the claim serialized
+            # them — adopt the winner's table
+            return LakeTable.load(self.spark, root, storage=self.storage)
 
     def _all_tables(self) -> list[LakeTable]:
         # destination discovery through the storage layer (NOT raw
@@ -230,7 +248,7 @@ class CdcPipeline:
         if self.file_sink is not None:
             c = self.file_sink.checkpoint()
             return c["offset_hi"] if c else -1
-        ckpts = [t.checkpoint() for t in self._all_tables()]
+        ckpts = [t.checkpoint(self.cfg.writer_id) for t in self._all_tables()]
         if not ckpts:
             return -1
         return min((c["offset_hi"] if c else -1) for c in ckpts)
@@ -242,13 +260,19 @@ class CdcPipeline:
         stats = RunStats()
         t_run = time.monotonic()
         last = self.checkpointed_offset()
+        if self.cfg.replay_from is not None:
+            # this writer's slice starts here; a checkpoint past it wins
+            last = max(last, self.cfg.replay_from - 1)
         max_offset = self.source.max_offset()
+        if self.cfg.replay_until is not None and max_offset is not None:
+            max_offset = min(max_offset, self.cfg.replay_until)
         batch_id = 0
         if self.file_sink is not None:
             c = self.file_sink.checkpoint()
             ckpts = [c] if c else []
         else:
-            ckpts = [t.checkpoint() for t in self._all_tables() if t.checkpoint()]
+            w = self.cfg.writer_id
+            ckpts = [t.checkpoint(w) for t in self._all_tables() if t.checkpoint(w)]
         if ckpts:
             batch_id = min(c["batch_id"] for c in ckpts) + 1
 
@@ -261,7 +285,9 @@ class CdcPipeline:
                 break
             t0 = time.monotonic()
             if bounds is not None:
-                hi = next((b for b in bounds if b > last), max_offset)
+                # clamp to max_offset: with replay_until set, the last
+                # event-balanced bound can overshoot this writer's slice
+                hi = min(next((b for b in bounds if b > last), max_offset), max_offset)
             else:
                 hi = min(last + self.cfg.batch_window, max_offset)
             lo = last
@@ -453,7 +479,7 @@ class CdcPipeline:
         value) end-to-end. Shared by the offset-window replay loop and
         the Structured Streaming foreachBatch sink."""
         t0 = time.monotonic()
-        checkpoint0 = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
+        checkpoint0 = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi, **({"writer": self.cfg.writer_id} if self.cfg.writer_id else {})}
         if self._fast_path_eligible():
             try:
                 out = self._process_fast(raw, checkpoint0, t0)
@@ -483,7 +509,7 @@ class CdcPipeline:
             coalesce_schemas=True,
         )
         self._refresh_schema_cache(groups)
-        checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi}
+        checkpoint = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi, **({"writer": self.cfg.writer_id} if self.cfg.writer_id else {})}
         if lag_ms is not None:
             checkpoint_rec_extra = {"ms_behind_source": lag_ms}
         else:

@@ -22,11 +22,33 @@ import sys
 import time
 
 
-def _make_storage(name: str):
+def _make_storage(name: str, fault_rate: float = 0.05, fault_seed: int = 0):
     if name == "condput":
         from debezium_server_batch_spark.plans.storage import ConditionalPutStorage
 
         return ConditionalPutStorage()
+    if name == "flaky":
+        # degraded object store: condput semantics + injected transient
+        # faults/stale listings under the SDK-style retry layer — the
+        # fault-injection soak configuration
+        import os as _os
+
+        from debezium_server_batch_spark.plans.storage import (
+            ConditionalPutStorage,
+            FlakyStorage,
+            RetryingStorage,
+        )
+
+        seed = fault_seed if fault_seed else (_os.getpid() & 0xFFFF)
+        return RetryingStorage(
+            FlakyStorage(
+                ConditionalPutStorage(),
+                fault_rate=fault_rate,
+                stale_list_rate=fault_rate,
+                seed=seed,
+            ),
+            base_backoff_s=0.02,
+        )
     return None  # PosixStorage default
 
 
@@ -77,16 +99,31 @@ def main(argv: list[str] | None = None) -> int:
                    help="files sink: wall-clock dt= path partition (reference P6)")
     r.add_argument("--partition-tz", default="UTC")
     r.add_argument("--track-lag", action="store_true", help="emit ms-behind-source per batch")
-    r.add_argument("--storage", default="posix", choices=["posix", "condput"],
-                   help="metadata/commit storage backend: posix hard-link claims or "
-                   "object-store conditional-PUT semantics (condput)")
+    r.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"],
+                   help="metadata/commit storage backend: posix hard-link claims, "
+                   "object-store conditional-PUT semantics (condput), or condput "
+                   "under injected transient faults + SDK-style retries (flaky)")
+    r.add_argument("--fault-rate", type=float, default=0.05,
+                   help="flaky storage: per-op transient-fault probability (and "
+                   "stale-list probability)")
+    r.add_argument("--fault-seed", type=int, default=0,
+                   help="flaky storage: RNG seed (0 = derive from pid)")
+    r.add_argument("--writer-id", default=None,
+                   help="named checkpoint slot: N processes replay disjoint offset "
+                   "ranges of one log into ONE table, each resuming independently")
+    r.add_argument("--replay-from", type=int, default=None,
+                   help="first offset (inclusive) of this writer's slice")
+    r.add_argument("--replay-until", type=int, default=None,
+                   help="last offset (inclusive) of this writer's slice")
     r.add_argument("--wait-strategy", default="NoBatchSizeWait")
     r.add_argument("--max-batch-size", type=int, default=2048)
     r.add_argument("--max-wait-ms", type=int, default=300_000)
 
     m = sub.add_parser("compact")
     m.add_argument("--table", required=True)
-    m.add_argument("--storage", default="posix", choices=["posix", "condput"])
+    m.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    m.add_argument("--fault-rate", type=float, default=0.05)
+    m.add_argument("--fault-seed", type=int, default=0)
     m.add_argument("--incremental", action="store_true",
                    help="minor compaction: fold outstanding deltas only (O(deltas), not O(table))")
     m.add_argument("--sort", action="store_true",
@@ -166,24 +203,40 @@ def main(argv: list[str] | None = None) -> int:
                 objectkey_partition=args.objectkey_partition,
                 partition_tz=args.partition_tz,
                 track_lag=args.track_lag,
-                storage=_make_storage(getattr(args, "storage", "posix")),
+                writer_id=args.writer_id,
+                replay_from=args.replay_from,
+                replay_until=args.replay_until,
+                storage=_make_storage(
+                    getattr(args, "storage", "posix"),
+                    fault_rate=getattr(args, "fault_rate", 0.05),
+                    fault_seed=getattr(args, "fault_seed", 0),
+                ),
             )
             stats = CdcPipeline(spark, cfg, batch_size_wait=wait).run(max_batches=args.max_batches)
-            print(
-                json.dumps(
-                    {
-                        "batches": stats.batches,
-                        "events": stats.events,
-                        "elapsed_sec": round(stats.elapsed_s, 2),
-                        "events_per_sec": round(stats.events_per_sec, 1),
-                    }
-                )
-            )
+            line = {
+                "batches": stats.batches,
+                "events": stats.events,
+                "elapsed_sec": round(stats.elapsed_s, 2),
+                "events_per_sec": round(stats.events_per_sec, 1),
+            }
+            # fault-injection observability: injected-fault + retry
+            # amplification counters from the flaky/retrying stack
+            st = cfg.storage
+            if st is not None and hasattr(st, "stats"):
+                line["storage_retries"] = st.stats.get("retries", 0)
+                inner = getattr(st, "inner", None)
+                if inner is not None and hasattr(inner, "stats"):
+                    line["storage_faults"] = inner.stats
+            print(json.dumps(line))
 
         elif args.cmd == "compact":
             from debezium_server_batch_spark.plans.laketable import LakeTable
 
-            t = LakeTable.load(spark, args.table, storage=_make_storage(args.storage))
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
             if args.purge_tombstones:
                 t.purge_tombstones()
             if args.incremental:

@@ -159,6 +159,37 @@ def test_restart_resume(spark, log_path, replayed, tmp_path):
     assert spark_final_state(spark, root) == spark_final_state(spark, full_root)
 
 
+def test_two_writers_disjoint_ranges_one_table(spark, log_path, replayed, tmp_path):
+    """Two pipelines with distinct writer_ids replay disjoint halves of
+    the offset range into ONE table, with interleaved partial runs and a
+    restart — per-writer checkpoint slots must not collide, and the
+    final state must equal the single-writer replay exactly."""
+    from debezium_server_batch_spark.sources.event_log import EventLogSource
+
+    full_root, _ = replayed
+    root = str(tmp_path / "pages")
+    mid = EventLogSource(spark, log_path).max_offset() // 2
+
+    cfg_a = _cfg(log_path, root, writer_id="wA", replay_until=mid)
+    cfg_b = _cfg(log_path, root, writer_id="wB", replay_from=mid + 1)
+
+    # interleave: A partial → B partial → A drain → B drain → restarts
+    CdcPipeline(spark, cfg_a).run(max_batches=1)
+    CdcPipeline(spark, cfg_b).run(max_batches=1)
+    t = LakeTable.load(spark, root)
+    ck_a, ck_b = t.checkpoint("wA"), t.checkpoint("wB")
+    assert ck_a is not None and ck_b is not None
+    assert ck_a["offset_hi"] <= mid < ck_b["offset_hi"]  # independent slots
+    CdcPipeline(spark, cfg_a).run()
+    CdcPipeline(spark, cfg_b).run()
+    # both writers drained their slices: further runs are no-ops
+    assert CdcPipeline(spark, cfg_a).run().batches == 0
+    assert CdcPipeline(spark, cfg_b).run().batches == 0
+    t = LakeTable.load(spark, root)
+    assert t.checkpoint("wA")["offset_hi"] == mid
+    assert spark_final_state(spark, root) == spark_final_state(spark, full_root)
+
+
 def test_exactly_once_suffix_replay(spark, log_path, replayed):
     """Rewind the checkpoint (simulating at-least-once redelivery of the
     last windows) — replay must not change the table state."""

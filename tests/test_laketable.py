@@ -540,19 +540,215 @@ def test_changes_over_cow_merge_commits(spark, tmp_path):
     assert c.changes(c.current_version()).count() == 0
 
 
-def test_cow_merge_auto_retries_on_concurrent_commit(spark, table):
-    """A CoW merge losing the commit race RECOMPUTES from the winner's
-    snapshot and retries (r3 next-round #2) — the window survives and
-    nothing of the winner is lost."""
+def _mor_table(spark, path):
+    return LakeTable.create(
+        spark, str(path), SCHEMA, key_col="url", num_buckets=4,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+
+
+def _one_shot_commit_hook(spark, t, root, action):
+    """Patch t's storage so the FIRST claim attempt is preceded by
+    `action` landing a concurrent commit through a separate handle —
+    deterministic interleaving of 'winner commits between this rewrite's
+    compute and its claim'."""
+    orig_claim = t.storage.claim
+    fired = []
+
+    def claim_hook(path, data):
+        if not fired:
+            fired.append(1)
+            action(LakeTable.load(spark, root))
+        return orig_claim(path, data)
+
+    t.storage.claim = claim_hook
+
+
+def test_compact_deltas_rebases_onto_concurrent_append(spark, tmp_path):
+    """Validated rebase (Iceberg RewriteFiles shape): a MoR appender
+    landing a delta between the fold's compute and its claim must NOT
+    force a recompute — the fold re-applies as a metadata-only rebase,
+    the winner's delta survives under '*', and needs_collapse stays
+    raised so reads still collapse it."""
+    root = str(tmp_path / "reb")
+    t = _mor_table(spark, root)
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+
+    _one_shot_commit_hook(
+        spark, t, root,
+        lambda other: other.merge(_batch(spark, [("a", "t9", 9, False)])),
+    )
+    t.compact_deltas()
+
+    snap = t.snapshot()
+    assert snap["summary"]["operation"] == "compact-deltas"
+    assert "rebased_onto" in snap["summary"]  # metadata rebase, not recompute
+    assert snap["buckets"].get("*")  # winner's delta survived the fold
+    assert snap["needs_collapse"] is True
+    got = {(r["url"], r["text"], r["__lsn"]) for r in t.read().collect()}
+    assert got == {("a", "t9", 9), ("b", "t1", 2)}  # winner's row wins LWW
+
+
+def test_competing_folds_converge_via_recompute(spark, tmp_path):
+    """Two compactors folding the SAME deltas: the loser's validation
+    fails (its consumed files are gone) → ConcurrentCommitError → the
+    auto-retry recomputes on the winner's snapshot and no-ops. State
+    intact, no duplicate or resurrected rows."""
+    root = str(tmp_path / "race2")
+    t = _mor_table(spark, root)
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+
+    _one_shot_commit_hook(spark, t, root, lambda other: other.compact_deltas())
+    t.compact_deltas()
+
+    snap = t.snapshot()
+    assert not snap["buckets"].get("*")
+    assert snap["needs_collapse"] is False
+    got = {(r["url"], r["text"], r["__lsn"]) for r in t.read().collect()}
+    assert got == {("a", "t1", 1), ("b", "t1", 2)}
+
+
+def test_cow_merge_rebases_onto_disjoint_cow_merge(spark, tmp_path):
+    """Two CoW merges touching DISJOINT buckets commute: the loser
+    rebases metadata-only instead of recomputing; both writers' rows
+    land."""
+    root = str(tmp_path / "cowreb")
+    c = LakeTable.create(
+        spark, root, SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="cow",
+    )
+    # find two keys hashing to different buckets
+    from pyspark.sql import functions as F  # noqa: F811
+
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(8)], "url string")
+    bexpr = c._bucket_expr(c.snapshot())
+    by_bucket = {}
+    for r in probe.select("url", bexpr.alias("b")).collect():
+        by_bucket.setdefault(r["b"], r["url"])
+    k1, k2 = list(by_bucket.values())[:2]
+    assert k1 != k2
+
+    c.merge(_batch(spark, [(k1, "t1", 1, False)]))
+    _one_shot_commit_hook(
+        spark, c, root,
+        lambda other: other.merge(_batch(spark, [(k2, "o1", 5, False)])),
+    )
+    c.merge(_batch(spark, [(k1, "t2", 2, False)]))
+
+    snap = c.snapshot()
+    assert "rebased_onto" in snap["summary"]
+    got = {(r["url"], r["text"], r["__lsn"]) for r in c.read().collect()}
+    assert got == {(k1, "t2", 2), (k2, "o1", 5)}
+    """Property (seeded): with the engine's FULL order key — which ends
+    in the per-event unique `offset` — two events can never tie on the
+    whole key, so the docstring's degenerate same-order-different-payload
+    overwrite is unreachable in replays. Even with adversarial prefix
+    ties (duplicate (url, __lsn) with different payloads), folding
+    changes(0) by last-commit-wins reconstructs read() exactly over a
+    CoW history — the changelog loses nothing."""
+    import random
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("__lsn", T.LongType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("__deleted", T.BooleanType(), True),
+        ]
+    )
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        c = LakeTable.create(
+            spark, str(tmp_path / f"tie{seed}"), schema, key_col="url", num_buckets=2,
+            order_by=("__lsn", "offset"), merge_mode="cow",
+        )
+        off = 0
+        best: dict = {}
+        for _commit in range(4):
+            rows = []
+            batch_best: dict = {}
+            for _ in range(6):
+                k = f"k{rng.randrange(4)}"
+                lsn = rng.randrange(3)  # tiny range → many prefix ties
+                deleted = rng.random() < 0.2
+                row = (k, None if deleted else f"p{off}", lsn, off, deleted)
+                # strict total order: (lsn, offset) — offset is unique
+                if k not in batch_best or (lsn, off) > batch_best[k][0]:
+                    batch_best[k] = ((lsn, off), row)
+                off += 1
+            rows = [v[1] for v in batch_best.values()]  # ≤1 row/key per merge
+            c.merge(spark.createDataFrame(rows, schema))
+            for k, (order, row) in batch_best.items():
+                if k not in best or order >= best[k][0]:
+                    best[k] = (order, row)
+        expected = {
+            k: row for k, (order, row) in best.items() if not row[4]
+        }
+        got = {r["url"]: (r["url"], r["text"], r["__lsn"], r["offset"], r["__deleted"])
+               for r in c.read().collect()}
+        assert got == expected  # table state: max full-order key wins
+        # changelog fold: per key, the row from the LAST commit version
+        fold: dict = {}
+        for r in c.changes(0).collect():
+            if r["url"] not in fold or r["_commit_version"] >= fold[r["url"]][0]:
+                fold[r["url"]] = (
+                    r["_commit_version"],
+                    (r["url"], r["text"], r["__lsn"], r["offset"], r["__deleted"]),
+                )
+        folded = {k: row for k, (_, row) in fold.items() if not row[4]}
+        assert folded == expected  # changelog reconstructs state exactly
+
+
+def test_changes_unknown_rewrite_op_raises(spark, table):
+    """The honest failure arm: a hypothetical future rewrite kind the
+    changelog cannot decompose must raise, not silently mis-report."""
     table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    # white-box: land a commit whose operation no changelog rule knows
+    table._commit(
+        lambda base: {
+            **table._carry(base),
+            "needs_collapse": bool(base.get("needs_collapse")),
+            "schemas": base["schemas"],
+            "current_schema_id": base["current_schema_id"],
+            "buckets": {b: list(fs) for b, fs in base["buckets"].items()},
+            **table._ckpt_fields(base),
+            "lineage": [],
+            "summary": {"operation": "frobnicate-rewrite"},
+        },
+        rebaseable=True,
+    )
+    with pytest.raises(ValueError, match="frobnicate-rewrite"):
+        table.changes(0)
+    # ranges EXCLUDING the unknown commit still work
+    assert table.changes(table.current_version()).count() == 0
+
+
+def test_cow_merge_auto_retries_on_concurrent_commit(spark, table):
+    """A CoW merge racing a concurrent committer survives either way:
+    a winner whose files land in a bucket this merge REWROTE (and the
+    table doesn't collapse on read) forces exactly one recompute; a
+    disjoint winner is absorbed by the validated metadata rebase with
+    no recompute at all (see test_cow_merge_rebases_onto_disjoint_
+    cow_merge). Nothing of the winner is ever lost."""
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    # pick a winner key in the SAME bucket as 'a' → rebase guard must
+    # refuse (duplicate would sit invisibly beside the rewrite) and the
+    # recompute path must run
+    snap = table.snapshot()
+    bexpr = table._bucket_expr(snap)
+    probe = spark.createDataFrame([(f"z{i}",) for i in range(16)] + [("a",)], "url string")
+    buckets = {r["url"]: r["b"] for r in probe.select("url", bexpr.alias("b")).collect()}
+    z = next(k for k in buckets if k != "a" and buckets[k] == buckets["a"])
+
     calls = {"n": 0}
     orig = table._write_files
 
     def racing_write(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            # a concurrent committer advances the table mid-compute
-            LakeTable.load(spark, table.root).append(_batch(spark, [("z", "t", 9, False)]))
+            # a concurrent committer appends into the SAME bucket
+            LakeTable.load(spark, table.root).append(_batch(spark, [(z, "t", 9, False)]))
         return orig(*a, **kw)
 
     table._write_files = racing_write
@@ -562,7 +758,7 @@ def test_cow_merge_auto_retries_on_concurrent_commit(spark, table):
         del table._write_files
     state = {r["url"]: r["text"] for r in table.read().collect()}
     assert state["a"] == "t2"  # the retried merge landed
-    assert state["z"] == "t"  # the winner's row survived (no lost update)
+    assert state[z] == "t"  # the winner's row survived (no lost update)
     assert calls["n"] == 2  # exactly one recompute
 
 
@@ -591,11 +787,21 @@ def test_compact_deltas_auto_retries_on_concurrent_commit(spark, tmp_path):
         t.compact_deltas()
     finally:
         del t._write_files
-    assert calls["n"] == 2
+    # the appender's mid-fold delta no longer forces a recompute: the
+    # fold REBASES metadata-only, the racer's delta survives under '*'
+    # with needs_collapse still raised, and reads collapse it
+    assert calls["n"] == 1
     snap = t.snapshot()
-    assert "*" not in snap["buckets"]  # ALL deltas folded, incl. the racer's
+    assert "rebased_onto" in snap["summary"]
+    assert snap["buckets"].get("*")  # racer's delta outstanding, not lost
+    assert snap["needs_collapse"] is True
     state = {r["url"]: r["text"] for r in t.read().collect()}
     assert state == {"a": "t2", "b": "t1", "q": "tq"}
+    # the NEXT maintenance pass folds the racer's delta
+    t.compact_deltas()
+    snap = t.snapshot()
+    assert not snap["buckets"].get("*")
+    assert {r["url"]: r["text"] for r in t.read().collect()} == state
 
 
 def test_two_writer_append_compact_race_converges(spark, tmp_path):
