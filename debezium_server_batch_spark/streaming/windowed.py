@@ -28,15 +28,23 @@ def streaming_window_stats(
     ts: str = "ts",
     group: str = "event_type",
     value: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming DF of events → append-mode stream of CLOSED
     (window, group) rollups: event count + exact decimal value sum
-    (cast back to double for parity with the batch rollup)."""
+    (cast back to double for parity with the batch rollup).
+
+    `slide`: hopping/sliding windows — each event lands in
+    window/slide overlapping windows (e.g. window='1 hour',
+    slide='15 minutes' → 4). State per open window is still one
+    aggregation buffer; Spark expands the assignment at the source, so
+    a slide of W/k multiplies shuffle rows by k — size k to the
+    dashboard granularity actually needed, not finer. None = tumbling."""
     return (
         events.withColumn("_ts", F.col(ts).cast("timestamp"))
         .filter(F.col("_ts").isNotNull())
         .withWatermark("_ts", watermark)
-        .groupBy(F.window("_ts", window).alias("w"), F.col(group))
+        .groupBy(F.window("_ts", window, slide or window).alias("w"), F.col(group))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value).cast("decimal(38,6)")).cast("double").alias("sum_value"),
@@ -49,3 +57,36 @@ def streaming_window_stats(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream deduplication: first event per key wins;
+    redeliveries arriving within the watermark horizon are dropped.
+    This is the streaming face of the CDC at-least-once contract — an
+    upstream that redelivers a window re-sends the same (key, offset)
+    events, and `dropDuplicatesWithinWatermark` absorbs them with state
+    BOUNDED by the watermark (plain dropDuplicates on a stream keeps
+    every key forever — unusable at 10^10 keys; the within-watermark
+    variant evicts a key's entry once the watermark passes its event
+    time, which is exactly the redelivery horizon).
+
+    Batch parity: on a batch DataFrame this degrades to exact
+    first-wins dedup over the whole input (batch runs have no
+    redelivery horizon), implemented as the same max-order-free
+    dropDuplicates the batch dedup operator family uses.
+
+    Null event times are filtered (the watermark operator drops them
+    in streaming; the filter keeps batch runs identical)."""
+    out = events.withColumn("_ts", F.col(ts).cast("timestamp")).filter(
+        F.col("_ts").isNotNull()
+    )
+    if out.isStreaming:
+        out = out.withWatermark("_ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else:
+        out = out.dropDuplicates(keys)
+    return out.drop("_ts")

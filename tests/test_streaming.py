@@ -327,3 +327,122 @@ def test_streaming_window_stats_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == got_batch
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Hopping windows (1 h window / 30 min slide): every event lands in
+    TWO overlapping windows; append mode emits each closed (window,
+    group) pair exactly once, equal to the batch rollup over the closed
+    range — including a LATE row that still beat the watermark."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.windowed import streaming_window_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    d = "2024-04-01 "
+    write_file("f0.parquet", [("A", d + "10:05", 1.0), ("A", d + "10:40", 2.0)])
+    # watermark (30 min) trails max event time 11:20 → 10:50: the late
+    # 10:45 row is UNDER the horizon and must be aggregated, not dropped
+    write_file("f1.parquet", [("A", d + "11:20", 4.0), ("A", d + "10:45", 8.0)])
+    write_file("f2.parquet", [("A", d + "14:00", 16.0)])
+
+    stream = spark.readStream.schema("event_type string, ts timestamp_ntz, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        streaming_window_stats(stream, window="1 hour", slide="30 minutes",
+                               watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM slide_stats").collect()
+    }
+    closed_end = "2024-04-01 13:30:00"  # watermark after f2 = 13:30
+    batch = streaming_window_stats(
+        spark.read.schema("event_type string, ts timestamp_ntz, value double").parquet(str(src)),
+        window="1 hour", slide="30 minutes",
+    ).filter(F.col("window_end") <= F.lit(closed_end).cast("timestamp"))
+    got_batch = {
+        (str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == got_batch
+    # spot-check the overlap + the late row: 10:30-11:30 holds
+    # 10:40 + 10:45 + 11:20
+    assert ("2024-04-01 10:30:00", "A", 3, 14.0) in got
+
+
+def test_streaming_dedup_absorbs_redelivery(spark, tmp_path):
+    """Watermarked stream dedup: redelivered (key-identical) events
+    within the watermark horizon are dropped; the surviving set equals
+    the batch first-wins dedup of the same input."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.windowed import streaming_dedup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["url", "offset", "ts", "payload"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    d = "2024-04-01 "
+    write_file("f0.parquet", [("u1", 1, d + "10:00", "p1"), ("u2", 2, d + "10:01", "p2")])
+    # at-least-once redelivery: the SAME (url, offset) events again,
+    # within the watermark horizon — must be absorbed
+    write_file("f1.parquet", [("u1", 1, d + "10:00", "p1"), ("u3", 3, d + "10:05", "p3")])
+    write_file("f2.parquet", [("u2", 2, d + "10:01", "p2"), ("u4", 4, d + "10:30", "p4")])
+
+    schema = "url string, offset long, ts timestamp_ntz, payload string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = (
+        streaming_dedup(stream, keys=["url", "offset"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["url"], r["offset"], r["payload"])
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    batch = streaming_dedup(
+        spark.read.schema(schema).parquet(str(src)), keys=["url", "offset"]
+    )
+    got_batch = {(r["url"], r["offset"], r["payload"]) for r in batch.collect()}
+    assert got == got_batch == {
+        ("u1", 1, "p1"), ("u2", 2, "p2"), ("u3", 3, "p3"), ("u4", 4, "p4")
+    }
