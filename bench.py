@@ -6,11 +6,25 @@ sized from the sf directory's lineitem row count so sf0.01/sf0.1 scale
 the event volume 10×. Also times each `__spark_entry__.queries()` entry
 at the same sf.
 
+Noise normalization (r4 verdict next-round #7): this sandbox is a
+time-shared VM with ±40% session-to-session throughput swings, so raw
+seconds are not comparable across rounds. Each bench run therefore
+first executes tools/hardware_probe.py (a pure whole-stage-codegen
+loop — zero I/O, zero shuffle, zero Python) in its own JVM and reports:
+  probe_rows_per_sec          what the host delivered THIS run
+  queries_normalized          t_raw * probe_now / PROBE_REF — the time
+                              this run WOULD have taken at the
+                              reference epoch's host speed
+Regression comparisons across rounds should use the normalized
+columns; raw stays authoritative for absolute throughput claims.
+
 Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
   BENCH_QUERIES       comma list to restrict query timing (optional)
   BENCH_SKIP_REPLAY   set to skip the CDC replay (debug)
+  BENCH_SKIP_PROBE    set to skip the hardware probe (debug)
+  BENCH_PROBE_REF     override the reference probe M rows/s anchor
 """
 
 from __future__ import annotations
@@ -90,10 +104,38 @@ def run_replay(spark, sf_dir: str, workdir: str) -> dict:
     }
 
 
+# Hardware-probe anchor: tools/hardware_probe.py at 32 threads on this
+# host during the round-5 session (quiet box). Rounds normalize their
+# raw times to this epoch; the anchor itself never changes once set.
+PROBE_REF_ROWS_PER_SEC = 1139.2
+
+
+def run_probe(cpus: int) -> float | None:
+    """Host-delivery probe in its own JVM (before the bench session so
+    the measurement is clean). Returns M rows/s or None on failure."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "hardware_probe.py"), str(cpus)],
+            capture_output=True, timeout=300,
+        )
+        lines = [ln for ln in r.stdout.decode().splitlines() if ln.startswith("{")]
+        return float(json.loads(lines[-1])["rows_per_sec"]) if lines else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    probe_now = None
+    if not os.environ.get("BENCH_SKIP_PROBE"):
+        probe_now = run_probe(cpus)
+    probe_ref = float(os.environ.get("BENCH_PROBE_REF", PROBE_REF_ROWS_PER_SEC))
 
     spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="dsbs-bench")
 
@@ -130,6 +172,20 @@ def main() -> None:
         "cpus": cpus,
         "replay": replay,
     }
+    if probe_now:
+        # t_norm = t_raw * speed_now / speed_ref: the time this run
+        # WOULD have taken at the reference epoch's host speed (slow
+        # host → raw inflated → normalized corrects DOWN)
+        k = probe_now / probe_ref
+        out["probe_rows_per_sec"] = probe_now
+        out["probe_ref_rows_per_sec"] = probe_ref
+        out["host_speed_vs_ref"] = round(k, 3)
+        out["queries_normalized"] = {q: round(t * k, 3) for q, t in query_times.items()}
+        out["value_normalized"] = round(total * k, 3)
+        if replay:
+            out["replay_events_per_sec_normalized"] = round(
+                replay["events_per_sec"] / k, 1
+            )
     spark.stop()
     print(json.dumps(out))
 

@@ -51,12 +51,26 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
     ck = dst.checkpoint() or {}
     since = ck.get("src_version", -1)
     if since == cur:
-        return {"src_version": cur, "rows_synced": 0, "noop": True}
+        return {"src_version": cur, "rows_synced": 0, "noop": True, "bootstrap": False}
 
-    if since < 0:
+    bootstrap = since < 0
+    if bootstrap:
         df: DataFrame = src.read(version=cur, include_deleted=True)
     else:
-        df = src.changes(since, cur).drop("_commit_version")
+        try:
+            df = src.changes(since, cur).drop("_commit_version")
+        except FileNotFoundError:
+            # upstream vacuum expired `since` while this follower was
+            # down (the wall every Iceberg incremental consumer hits):
+            # RE-BOOTSTRAP from the full current snapshot, tombstones
+            # included. The destination's order-guarded LWW merge makes
+            # the re-read idempotent — correct, just O(table) for this
+            # one tick. Caveat: if upstream ALSO purged tombstones in
+            # the gap, deletes that happened entirely inside the gap are
+            # unrecoverable from the snapshot (purge only runs once
+            # replay/beyond-checkpoint redelivery is impossible, so
+            # coordinate purge with follower lag).
+            df = src.read(version=cur, include_deleted=True)
     if transform is not None:
         df = transform(df)
 
@@ -70,9 +84,9 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
         n = deduped.count()
         if n == 0:
             dst.commit_checkpoint({**ck, "src_version": cur})
-            return {"src_version": cur, "rows_synced": 0, "noop": False}
+            return {"src_version": cur, "rows_synced": 0, "noop": False, "bootstrap": bootstrap}
         dst.merge(deduped, checkpoint={**ck, "src_version": cur}, rows_hint=n)
-        return {"src_version": cur, "rows_synced": n, "noop": False}
+        return {"src_version": cur, "rows_synced": n, "noop": False, "bootstrap": bootstrap}
     finally:
         deduped.unpersist()
 

@@ -1214,6 +1214,34 @@ def test_chained_pipeline_sync_incremental(spark, tmp_path):
     )
 
 
+def test_sync_incremental_rebootstraps_after_vacuum_expiry(spark, tmp_path):
+    """A follower that fell behind the upstream vacuum horizon (its
+    last-synced version header expired) must RE-BOOTSTRAP from the full
+    current snapshot instead of dying on the changelog read — the LWW
+    merge makes the re-read idempotent and the final state exact."""
+    from debezium_server_batch_spark.plans.chained import sync_incremental
+
+    bronze = _mor_table(spark, tmp_path / "bronze")
+    silver = _mor_table(spark, tmp_path / "silver")
+    bronze.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    r = sync_incremental(bronze, silver)
+    assert r["rows_synced"] == 2
+
+    # upstream advances far, compacts, then vacuums past the follower
+    bronze.merge(_batch(spark, [("a", "t2", 3, False), ("c", "t1", 4, False)]))
+    bronze.merge(_batch(spark, [("b", None, 5, True)]))
+    bronze.compact_deltas()
+    bronze.vacuum(keep_last=1, orphan_grace_s=0.0)
+    with pytest.raises(FileNotFoundError):
+        bronze.snapshot(r["src_version"])  # follower's version is gone
+
+    r2 = sync_incremental(bronze, silver)
+    assert r2["rows_synced"] > 0  # bootstrap path, not a crash
+    state = {r_["url"]: r_["text"] for r_ in silver.read().collect()}
+    assert state == {"a": "t2", "c": "t1"}  # delete propagated via tombstone
+    assert sync_incremental(bronze, silver)["noop"]
+
+
 def test_follow_loop_paces_and_converges(spark, tmp_path):
     """follow(): per-tick sync_incremental paced by the BatchSizeWait
     family — upstream commits landing BETWEEN ticks (injected from the
