@@ -189,6 +189,21 @@ def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hopping-window rollup (1 h window / 30 min slide): every event
+    # lands in 2 overlapping windows — the SAME streaming operator
+    # (streaming/windowed.py) run in batch mode, oracle = explicit
+    # 2-way hop expansion in SQL
+    from debezium_server_batch_spark.streaming.windowed import streaming_window_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        streaming_window_stats(ev, window="1 hour", slide="30 minutes")
+        .withColumn("window_start_ms", F.unix_millis(F.col("window_start").cast("timestamp")))
+        .drop("window_start", "window_end")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape over lineitem — relational agg correctness anchor
     li = _read(spark, sf_dir, "lineitem")
@@ -472,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "events_window_stats": q_events_window_stats,
+        "events_window_sliding": q_events_window_sliding,
         "pricing_summary": q_pricing_summary,
         "sessionization": q_sessionization,
         "topk_per_user": q_topk_per_user,
@@ -678,6 +694,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                    epoch_ms(date_trunc('hour', ts)) AS hour_ms
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "events_window_sliding": """
+            WITH hops AS (
+              SELECT e.event_type, e.value,
+                     (CAST(floor(epoch(e.ts) / 1800) AS BIGINT) * 1800 - k.k * 1800) * 1000 AS ws_ms
+              FROM events e
+              CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+                   ws_ms AS window_start_ms
+            FROM hops GROUP BY ws_ms, event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1431,6 +1431,27 @@ class LakeTable:
             .select(*[F.col(f.name) for f in current.fields])
         )
 
+    def outstanding_delta_files(self, snap: dict | None = None) -> int:
+        """Number of data files a minor compaction would fold right now
+        — the observed-state trigger for auto-compaction (Iceberg/Hudi
+        gate maintenance on accumulated deltas, not on a wall-clock or
+        batch-count knob). Metadata-only: counts '*' pseudo-bucket
+        entries (unbucketed MoR deltas) plus un-collapsed files in real
+        buckets (bucketed layout); zero when the table needs no
+        collapse."""
+        snap = snap or self.snapshot()
+        if not snap.get("needs_collapse"):
+            return 0
+        n = len(snap["buckets"].get("*", []))
+        n += sum(
+            1
+            for b, files in snap["buckets"].items()
+            if b != "*"
+            for f in files
+            if not f.get("collapsed")
+        )
+        return n
+
     def compact_deltas(self, sort: bool = False) -> int:
         """MINOR compaction: fold outstanding MoR deltas into a collapsed
         bucket/day layout, rewriting just the buckets the delta keys

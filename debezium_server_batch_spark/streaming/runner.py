@@ -78,6 +78,13 @@ class PipelineConfig:
     # layout) or 'bucketed' = shuffle at write for pre-compaction pruning
     delta_layout: str = "unbucketed"
     compact_every: int | None = None  # fold MoR deltas every N batches
+    # auto-compaction: trigger the minor fold from OBSERVED table state
+    # (outstanding delta files >= threshold) instead of the static
+    # compact_every cadence — self-tuning across batch sizes and
+    # per-destination rates (a hot destination folds often, an idle one
+    # never). The check is metadata-only (snapshot already in hand).
+    auto_compact: bool = False
+    auto_compact_min_deltas: int = 48
     prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
     # event-time day partitioning of the target table (days(warc_ts)
     # alongside bucket(url)); None disables
@@ -308,6 +315,12 @@ class CdcPipeline:
                     # minor compaction: fold outstanding deltas into the
                     # bucket layout without rewriting untouched buckets
                     t.compact_deltas()
+            elif self.cfg.auto_compact:
+                for t in self._all_tables():
+                    # observed-state trigger: fold only when this table
+                    # has accumulated enough deltas to be worth a pass
+                    if t.outstanding_delta_files() >= self.cfg.auto_compact_min_deltas:
+                        t.compact_deltas()
             # let offset-aware wait strategies (pending_fn /
             # snapshot_running_fn closures) probe from the consumed
             # position instead of the log head. Skip the wait entirely

@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
         help="event-time day-partition column for the target table ('' disables)",
     )
     r.add_argument("--compact-every", type=int, default=None)
+    r.add_argument("--auto-compact", action="store_true",
+                   help="trigger minor compaction from observed state (outstanding "
+                   "delta files >= --auto-compact-min-deltas) instead of a cadence")
+    r.add_argument("--auto-compact-min-deltas", type=int, default=48)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
     r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
@@ -195,6 +199,8 @@ def main(argv: list[str] | None = None) -> int:
                 merge_mode=args.merge_mode,
                 delta_layout=args.delta_layout,
                 compact_every=args.compact_every,
+                auto_compact=args.auto_compact,
+                auto_compact_min_deltas=args.auto_compact_min_deltas,
                 partition_ts_col=args.partition_ts or None,
                 log_format=args.log_format,
                 sink=args.sink,

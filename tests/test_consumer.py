@@ -190,6 +190,25 @@ def test_two_writers_disjoint_ranges_one_table(spark, log_path, replayed, tmp_pa
     assert spark_final_state(spark, root) == spark_final_state(spark, full_root)
 
 
+def test_auto_compact_triggers_from_observed_state(spark, log_path, replayed, tmp_path):
+    """auto_compact folds when OUTSTANDING deltas cross the threshold —
+    no compact_every hand-tuning. With a tiny threshold folds must
+    happen during the replay, the end state must equal the uncompacted
+    replay exactly, and the table must end within the threshold's
+    delta envelope."""
+    full_root, _ = replayed
+    root = str(tmp_path / "pages")
+    cfg = _cfg(log_path, root, auto_compact=True, auto_compact_min_deltas=2)
+    CdcPipeline(spark, cfg).run()
+    t = LakeTable.load(spark, root)
+    folds = [s for s in t.history() if (s.get("summary") or {}).get("operation") == "compact-deltas"]
+    assert folds  # the observed-state trigger actually fired mid-replay
+    # ends within the policy envelope: fewer outstanding deltas than the
+    # threshold + one window's worth
+    assert t.outstanding_delta_files() <= 2 + 4
+    assert spark_final_state(spark, root) == spark_final_state(spark, full_root)
+
+
 def test_exactly_once_suffix_replay(spark, log_path, replayed):
     """Rewind the checkpoint (simulating at-least-once redelivery of the
     last windows) — replay must not change the table state."""

@@ -36,12 +36,17 @@ def main() -> None:
         write_event_log(generate_event_log(spark, n_pages=1_200_000, n_hot=1200, hot_k=64), log, n_files=64)
 
     results = []
-    for cadence in (None, 5, 2):
+    for cadence in (None, 5, 2, "auto"):
         root = f"/dev/shm/cadence-{cadence}"
         shutil.rmtree(root, ignore_errors=True)
         cfg = PipelineConfig(
             log_path=log, table_root=root, batch_events=batch_events,
-            num_buckets=32, compact_every=cadence,
+            num_buckets=32,
+            compact_every=cadence if isinstance(cadence, int) else None,
+            # observed-state trigger (r4 verdict next-round #6): fold
+            # when outstanding deltas reach the threshold, no hand-tuned
+            # cadence — must land inside the every-5 envelope
+            auto_compact=cadence == "auto",
         )
         t0 = time.monotonic()
         stats = CdcPipeline(spark, cfg).run()
@@ -61,7 +66,7 @@ def main() -> None:
         slice_rows = t.read(days=("2024-02-14", "2024-02-18")).count()
         slice_s = time.monotonic() - t0
         rec = {
-            "compact_every": cadence,
+            "compact_every": cadence if isinstance(cadence, int) else (cadence or "off"),
             "events": stats.events,
             "batches": stats.batches,
             "replay_sec": round(replay_s, 1),
