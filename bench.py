@@ -107,7 +107,7 @@ def run_replay(spark, sf_dir: str, workdir: str) -> dict:
 # Hardware-probe anchor: tools/hardware_probe.py at 32 threads on this
 # host during the round-5 session (quiet box). Rounds normalize their
 # raw times to this epoch; the anchor itself never changes once set.
-PROBE_REF_ROWS_PER_SEC = 1139.2
+PROBE_REF_ROWS_PER_SEC = 1546.6
 
 
 def run_probe(cpus: int) -> float | None:
