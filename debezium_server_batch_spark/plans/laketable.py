@@ -1439,18 +1439,30 @@ class LakeTable:
         entries (unbucketed MoR deltas) plus un-collapsed files in real
         buckets (bucketed layout); zero when the table needs no
         collapse."""
+        return self.outstanding_delta_stats(snap)[0]
+
+    def outstanding_delta_stats(self, snap: dict | None = None) -> tuple[int, int, int]:
+        """(delta_files, delta_rows, collapsed_rows) from manifest
+        metadata — no Spark job. Both auto-compaction triggers need
+        this: a FILE-count threshold catches many-small-delta
+        accumulation (read amplification via open-file overhead), and a
+        ROWS-vs-table ratio catches few-huge-delta accumulation (big
+        batch sizes make few files that still double the LWW collapse
+        work) — either alone is blind to the other regime."""
         snap = snap or self.snapshot()
         if not snap.get("needs_collapse"):
-            return 0
-        n = len(snap["buckets"].get("*", []))
-        n += sum(
-            1
-            for b, files in snap["buckets"].items()
-            if b != "*"
-            for f in files
-            if not f.get("collapsed")
-        )
-        return n
+            return 0, 0, sum(
+                f["rows"] for fs in snap["buckets"].values() for f in fs
+            )
+        d_files = d_rows = c_rows = 0
+        for b, files in snap["buckets"].items():
+            for f in files:
+                if b == "*" or not f.get("collapsed"):
+                    d_files += 1
+                    d_rows += f["rows"]
+                else:
+                    c_rows += f["rows"]
+        return d_files, d_rows, c_rows
 
     def compact_deltas(self, sort: bool = False) -> int:
         """MINOR compaction: fold outstanding MoR deltas into a collapsed

@@ -85,6 +85,15 @@ class PipelineConfig:
     # never). The check is metadata-only (snapshot already in hand).
     auto_compact: bool = False
     auto_compact_min_deltas: int = 48
+    # second trigger: fold when outstanding delta ROWS reach this
+    # fraction of the collapsed table — catches the few-huge-deltas
+    # regime (big batch sizes) the file count is blind to. 3.0 is the
+    # LSM-style amortized point: folding work stays O(n log n) total
+    # while folds get geometrically rarer as the table outgrows a
+    # batch. When the log drains, run() folds any remainder (the
+    # maintenance a daemon would do in the idle window), so the table
+    # ends read-optimized without a trailing-deltas cliff.
+    auto_compact_rows_factor: float = 3.0
     prededup: bool = False  # force per-batch LWW before a MoR merge (CoW always dedups)
     # event-time day partitioning of the target table (days(warc_ts)
     # alongside bucket(url)); None disables
@@ -318,8 +327,12 @@ class CdcPipeline:
             elif self.cfg.auto_compact:
                 for t in self._all_tables():
                     # observed-state trigger: fold only when this table
-                    # has accumulated enough deltas to be worth a pass
-                    if t.outstanding_delta_files() >= self.cfg.auto_compact_min_deltas:
+                    # has accumulated enough deltas to be worth a pass —
+                    # by file count OR by delta-rows-vs-table ratio
+                    d_files, d_rows, c_rows = t.outstanding_delta_stats()
+                    if d_files >= self.cfg.auto_compact_min_deltas or (
+                        d_rows and d_rows >= self.cfg.auto_compact_rows_factor * max(c_rows, 1)
+                    ):
                         t.compact_deltas()
             # let offset-aware wait strategies (pending_fn /
             # snapshot_running_fn closures) probe from the consumed
@@ -332,6 +345,12 @@ class CdcPipeline:
             if last < max_offset:
                 self.wait.wait_ms(batch_stats["n_events"], elapsed_ms)
 
+        if self.cfg.auto_compact:
+            # log drained → idle window: fold the remainder so reads
+            # don't pay the LWW collapse for the tail batches' deltas
+            for t in self._all_tables():
+                if t.outstanding_delta_files():
+                    t.compact_deltas()
         stats.elapsed_s = time.monotonic() - t_run
         return stats
 

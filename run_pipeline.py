@@ -90,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="trigger minor compaction from observed state (outstanding "
                    "delta files >= --auto-compact-min-deltas) instead of a cadence")
     r.add_argument("--auto-compact-min-deltas", type=int, default=48)
+    r.add_argument("--auto-compact-rows-factor", type=float, default=1.0,
+                   help="also fold when outstanding delta rows reach this fraction "
+                   "of the collapsed table (catches few-huge-deltas at big batches)")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
     r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
@@ -201,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                 compact_every=args.compact_every,
                 auto_compact=args.auto_compact,
                 auto_compact_min_deltas=args.auto_compact_min_deltas,
+                auto_compact_rows_factor=args.auto_compact_rows_factor,
                 partition_ts_col=args.partition_ts or None,
                 log_format=args.log_format,
                 sink=args.sink,
