@@ -44,9 +44,11 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
       the merge (filters/projections; must keep dst's key and order_by
       columns).
 
-    Returns {"src_version", "rows_synced", "noop"}. Calling again with
-    no new upstream commits is a no-op (and a crashed step re-runs
-    idempotently — the checkpoint only advances with its data)."""
+    Returns {"src_version", "rows_synced", "noop", "bootstrap"} —
+    `bootstrap` is True for the first full read AND for a vacuum-horizon
+    re-bootstrap. Calling again with no new upstream commits is a no-op
+    (and a crashed step re-runs idempotently — the checkpoint only
+    advances with its data)."""
     cur = src.current_version()
     ck = dst.checkpoint() or {}
     since = ck.get("src_version", -1)
