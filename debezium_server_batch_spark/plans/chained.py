@@ -73,6 +73,7 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
             # replay/beyond-checkpoint redelivery is impossible, so
             # coordinate purge with follower lag).
             df = src.read(version=cur, include_deleted=True)
+            bootstrap = True
     if transform is not None:
         df = transform(df)
 

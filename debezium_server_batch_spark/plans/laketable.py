@@ -1006,7 +1006,6 @@ class LakeTable:
         summary,
         schemas: dict | None = None,
         current_schema_id: str | None = None,
-        needs_collapse_clean: bool = False,
         checkpoint: dict | None = None,
         lineage: list[dict] | None = None,
     ) -> int:
@@ -1029,9 +1028,9 @@ class LakeTable:
 
         `summary` may be a dict or a callable(buckets)->dict (so row
         totals are computed from the REBASED bucket state, not the stale
-        base). needs_collapse_clean: the flag value when no winner
-        additions survive; winner-added files re-raise the flag iff the
-        winner had set it."""
+        base). needs_collapse clears on the clean path (every rewrite
+        here emits collapsed output); winner-added files re-raise the
+        flag iff the winner had set it."""
         consumed_paths = {b: {f["path"] for f in fs} for b, fs in consumed.items()}
         snap_paths = {f["path"] for fs in snap["buckets"].values() for f in fs}
         my_schemas = schemas if schemas is not None else snap["schemas"]
@@ -1069,7 +1068,7 @@ class LakeTable:
                     buckets[b] = keepers
             for b, files in replaced.items():
                 buckets[b] = buckets.get(b, []) + list(files)
-            nc = needs_collapse_clean or (bool(base.get("needs_collapse")) and winner_added)
+            nc = bool(base.get("needs_collapse")) and winner_added
             if not nc:
                 # a winner's file ADDED into a bucket we replaced is only
                 # safe when reads LWW-collapse (it would otherwise sit as

@@ -356,6 +356,31 @@ class RetryingStorage:
         raise last if last is not None else RuntimeError("claim retries exhausted")
 
 
+def make_flaky_stack(
+    fault_rate: float = 0.05,
+    stale_list_rate: float | None = None,
+    seed: int = 0,
+    base_backoff_s: float = 0.02,
+) -> RetryingStorage:
+    """The canonical degraded-object-store test stack:
+    RetryingStorage(FlakyStorage(ConditionalPutStorage())). One factory
+    so the CLI (`--storage flaky`) and the soak tools exercise the SAME
+    wiring — a change to the retry/fault layers can't silently diverge
+    between what ships and what the soaks measure. seed=0 derives from
+    the pid (varied across soak process restarts)."""
+    import os as _os
+
+    return RetryingStorage(
+        FlakyStorage(
+            ConditionalPutStorage(),
+            fault_rate=fault_rate,
+            stale_list_rate=fault_rate if stale_list_rate is None else stale_list_rate,
+            seed=seed if seed else (_os.getpid() & 0xFFFF),
+        ),
+        base_backoff_s=base_backoff_s,
+    )
+
+
 class S3Storage:
     """Real S3 backend for the metadata/commit path — every primitive is
     one S3 API call (the mapping ConditionalPutStorage's double models):
@@ -488,26 +513,28 @@ class S3Storage:
         except self.s3.exceptions.ClientError as e:
             code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
             if code in (412, 409):  # PreconditionFailed / ConditionalRequestConflict
-                return self._claim_landed(path, data, on_absent=e)
+                return self._claim_landed(path, data, on_absent=e, definitive=True)
             raise
         except Exception as e:  # transport-level: timeout / conn reset — outcome unknown
             if isinstance(e, (KeyboardInterrupt, SystemExit)):
                 raise
-            return self._claim_landed(path, data, on_absent=e)
+            return self._claim_landed(path, data, on_absent=e, definitive=False)
 
-    def _claim_landed(self, path: str, data: str, on_absent: Exception) -> bool:
+    def _claim_landed(self, path: str, data: str, on_absent: Exception, definitive: bool) -> bool:
         """True iff the object at `path` holds exactly `data` (our PUT
-        landed despite the error). Absent/unreadable → re-raise the
-        original error: the commit state is genuinely unknown and the
-        caller must not assume either outcome."""
+        landed despite the error). When the key is ABSENT on read-back:
+        a `definitive` 412 proves our conditional PUT did NOT land (the
+        winner it lost to was merely deleted in between, e.g. by
+        vacuum) — a plain lost race, return False so the caller
+        rebases/retries; a transport error is genuinely unknown (the
+        PUT may still be in flight) — re-raise, the caller must not
+        assume either outcome."""
         try:
             return self.read_text(path) == data
         except self.s3.exceptions.ClientError as ge:
             if self._is_not_found(ge):
-                # key absent after a conditional-PUT failure: for a 412
-                # this means the competing object was deleted in between
-                # (vacuum); for a transport error the PUT never landed.
-                # Either way our claim did not land.
+                if definitive:
+                    return False  # 412-proven lost race; winner since deleted
                 raise on_absent from None
             raise on_absent from ge
 

@@ -82,7 +82,10 @@ class PipelineConfig:
     # (outstanding delta files >= threshold) instead of the static
     # compact_every cadence — self-tuning across batch sizes and
     # per-destination rates (a hot destination folds often, an idle one
-    # never). The check is metadata-only (snapshot already in hand).
+    # never). The check costs one snapshot-header read per table per
+    # window (two small metadata ops) — negligible against the window's
+    # Spark job, but not free on high-latency stores with many
+    # destinations; raise the thresholds there if it shows.
     auto_compact: bool = False
     auto_compact_min_deltas: int = 48
     # second trigger: fold when outstanding delta ROWS reach this

@@ -31,24 +31,9 @@ def _make_storage(name: str, fault_rate: float = 0.05, fault_seed: int = 0):
         # degraded object store: condput semantics + injected transient
         # faults/stale listings under the SDK-style retry layer — the
         # fault-injection soak configuration
-        import os as _os
+        from debezium_server_batch_spark.plans.storage import make_flaky_stack
 
-        from debezium_server_batch_spark.plans.storage import (
-            ConditionalPutStorage,
-            FlakyStorage,
-            RetryingStorage,
-        )
-
-        seed = fault_seed if fault_seed else (_os.getpid() & 0xFFFF)
-        return RetryingStorage(
-            FlakyStorage(
-                ConditionalPutStorage(),
-                fault_rate=fault_rate,
-                stale_list_rate=fault_rate,
-                seed=seed,
-            ),
-            base_backoff_s=0.02,
-        )
+        return make_flaky_stack(fault_rate=fault_rate, seed=fault_seed)
     return None  # PosixStorage default
 
 
@@ -90,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="trigger minor compaction from observed state (outstanding "
                    "delta files >= --auto-compact-min-deltas) instead of a cadence")
     r.add_argument("--auto-compact-min-deltas", type=int, default=48)
-    r.add_argument("--auto-compact-rows-factor", type=float, default=1.0,
+    r.add_argument("--auto-compact-rows-factor", type=float, default=3.0,
                    help="also fold when outstanding delta rows reach this fraction "
                    "of the collapsed table (catches few-huge-deltas at big batches)")
     r.add_argument("--buckets", type=int, default=64)

@@ -639,6 +639,9 @@ def test_cow_merge_rebases_onto_disjoint_cow_merge(spark, tmp_path):
     assert "rebased_onto" in snap["summary"]
     got = {(r["url"], r["text"], r["__lsn"]) for r in c.read().collect()}
     assert got == {(k1, "t2", 2), (k2, "o1", 5)}
+
+
+def test_changes_complete_under_order_prefix_ties(spark, tmp_path):
     """Property (seeded): with the engine's FULL order key — which ends
     in the per-event unique `offset` — two events can never tie on the
     whole key, so the docstring's degenerate same-order-different-payload

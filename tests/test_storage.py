@@ -180,6 +180,26 @@ def test_s3_claim_resolves_own_retried_put(s3):
     assert not st2.claim("t/_meta/v1.json", "other-uuid")  # genuine loss
 
 
+def test_s3_claim_412_then_deleted_is_plain_lost_race(s3):
+    """A definitive 412 proves our PUT did not land; if the winner was
+    deleted before the read-back (vacuum), the claim is still just a
+    lost race — return False for the caller's rebase/retry, don't
+    surface a commit-aborting error."""
+    st, _ = s3
+
+    class WinnerVanishes(FakeS3Client):
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch == "*":
+                raise self.exceptions.ClientError(412)  # race lost...
+            super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
+
+        def get_object(self, Bucket, Key):
+            raise self.exceptions.ClientError(404)  # ...winner since vacuumed
+
+    st2 = S3Storage("bkt", client=WinnerVanishes())
+    assert st2.claim("t/_meta/v1.json", "mine") is False
+
+
 def test_s3_claim_transport_error_resolution(s3):
     """A timeout/conn-reset after the PUT may or may not have landed:
     object present with our payload → True; present with another

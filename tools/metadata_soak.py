@@ -53,23 +53,16 @@ def main() -> None:
     from debezium_server_batch_spark.plans.laketable import LakeTable
     from debezium_server_batch_spark.plans.storage import (
         ConditionalPutStorage,
-        FlakyStorage,
         PosixStorage,
-        RetryingStorage,
+        make_flaky_stack,
     )
     from debezium_server_batch_spark.session import build_session
 
     fault_rate = float(os.environ.get("SOAK_FAULT_RATE", "0.05"))
     if storage_name == "flaky":
-        storage = RetryingStorage(
-            FlakyStorage(
-                ConditionalPutStorage(),
-                fault_rate=fault_rate,
-                stale_list_rate=fault_rate,
-                seed=7,
-            ),
-            base_backoff_s=0.01,
-        )
+        # the SAME stack the CLI ships (--storage flaky), via the shared
+        # factory — seeded for reproducibility, tight backoff for soak speed
+        storage = make_flaky_stack(fault_rate=fault_rate, seed=7, base_backoff_s=0.01)
     elif storage_name == "condput":
         storage = ConditionalPutStorage()
     else:

@@ -70,7 +70,6 @@ def main() -> None:
     from debezium_server_batch_spark.session import build_session
 
     # UI on: the REST API is where per-task duration quantiles live
-    # UI on: the REST API is where per-task duration quantiles live.
     # Partition-coalescing OFF for this measurement: skew only shows
     # when the hot key's share exceeds a task's fair share — on a
     # 1000-executor cluster a fair share is ~0.1% so a 5% key is a 50×
