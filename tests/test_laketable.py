@@ -639,6 +639,13 @@ def test_cow_merge_rebases_onto_disjoint_cow_merge(spark, tmp_path):
     assert "rebased_onto" in snap["summary"]
     got = {(r["url"], r["text"], r["__lsn"]) for r in c.read().collect()}
     assert got == {(k1, "t2", 2), (k2, "o1", 5)}
+    # changelog over the REBASED commit: prev is the WINNER's snapshot,
+    # and the per-bucket anti-join must yield exactly this merge's rows
+    # (not the winner's, not re-emitted unchanged rows)
+    v = c.current_version()
+    assert {(r["url"], r["text"]) for r in c.changes(v - 1).collect()} == {(k1, "t2")}
+    # and the winner's own commit still reports its rows
+    assert {(r["url"], r["text"]) for r in c.changes(v - 2, v - 1).collect()} == {(k2, "o1")}
 
 
 def test_changes_complete_under_order_prefix_ties(spark, tmp_path):

@@ -8,7 +8,9 @@ over 2.5M urls, Zipf-hot keys, deletes/re-inserts, schema epoch):
   compactions; final minor compaction 27s (48,907 events/s including
   it); final_rows 2,353,425 == DuckDB arg_max-LWW oracle count exactly.
 
-Usage: python tools/soak.py [n_pages=2500000] [cores=32]
+Usage: python tools/soak.py [n_pages=2500000] [cores=32] [cadence=3|auto]
+(cadence=auto runs the observed-state auto-compaction policy instead
+of the fixed every-3 fold — the 10^7 depth check for the r5 trigger)
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_500_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    cadence = sys.argv[3] if len(sys.argv) > 3 else "3"
 
     from debezium_server_batch_spark.plans.laketable import LakeTable
     from debezium_server_batch_spark.session import build_session
@@ -45,7 +48,9 @@ def main() -> None:
     root = "/dev/shm/soak-table"
     shutil.rmtree(root, ignore_errors=True)
     cfg = PipelineConfig(
-        log_path=log, table_root=root, batch_events=1_000_000, num_buckets=64, compact_every=3
+        log_path=log, table_root=root, batch_events=1_000_000, num_buckets=64,
+        compact_every=None if cadence == "auto" else int(cadence),
+        auto_compact=cadence == "auto",
     )
     t0 = time.monotonic()
     stats = CdcPipeline(spark, cfg).run()
@@ -77,6 +82,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "cadence": cadence,
                 "events": stats.events,
                 "batches": stats.batches,
                 "gen_s": round(gen_s, 1),

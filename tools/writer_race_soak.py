@@ -18,7 +18,10 @@ Pass criteria (all asserted, exit 1 on any failure):
     onto the OTHER writer's snapshot) are observed — the additive
     rebase path, exercised for real across processes.
 
-Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8]
+Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky]
+(storage=flaky layers ~5%-per-op injected transient faults + stale
+listings under SDK-style retries on top of the writer race — the
+double-adversarial configuration)
 Prints one JSON line with the soak metrics.
 """
 
@@ -45,6 +48,7 @@ def _run(args: list[str], **kw) -> subprocess.CompletedProcess:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    storage_name = sys.argv[3] if len(sys.argv) > 3 else "condput"
 
     log = f"/tmp/writer-race-log-{n_pages}"
     serial_table = "/dev/shm/writer-race-serial"
@@ -61,7 +65,7 @@ def main() -> None:
     # ---- leg 1: serial single-writer reference replay -----------------
     t0 = time.monotonic()
     r = _run(["--master", f"local[{cores}]", "replay", "--log", log,
-              "--table", serial_table, "--storage", "condput",
+              "--table", serial_table, "--storage", storage_name,
               "--batch-events", "4000", "--buckets", "16"])
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     serial_s = time.monotonic() - t0
@@ -84,7 +88,7 @@ def main() -> None:
         return subprocess.Popen(
             [sys.executable, os.path.join(REPO, "run_pipeline.py"),
              "--master", f"local[{cores}]", "replay", "--log", log,
-             "--table", raced_table, "--storage", "condput",
+             "--table", raced_table, "--storage", storage_name,
              "--batch-events", "2000", "--buckets", "16",
              "--writer-id", wid, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
@@ -138,7 +142,7 @@ def main() -> None:
             compactor = subprocess.Popen(
                 [sys.executable, os.path.join(REPO, "run_pipeline.py"),
                  "--master", "local[4]", "compact", "--table", raced_table,
-                 "--storage", "condput", "--incremental"],
+                 "--storage", storage_name, "--incremental"],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
             )
         time.sleep(0.25)
@@ -189,6 +193,7 @@ def main() -> None:
 
     out = {
         "n_pages": n_pages,
+        "storage": storage_name,
         "mid_offset": mid,
         "serial_replay_s": round(serial_s, 1),
         "raced_replay_s": round(raced_s, 1),
