@@ -859,9 +859,7 @@ class LakeTable:
         writer.parquet(out_dir)
 
         manifest: dict[str, list[dict]] = {}
-        if not self.storage.isdir(out_dir) or not any(
-            e.startswith("_bucket=") for e in self.storage.listdir(out_dir)
-        ):
+        if not any(e.startswith("_bucket=") for e in self._data_fs_names(out_dir)):
             return manifest
         # Per-file row counts from a DISTRIBUTED metadata scan (projection
         # is _metadata.file_path + partition columns + the first key
@@ -917,6 +915,23 @@ class LakeTable:
             lambda: self._write_delta_files_once(*args, **kwargs), "delta write"
         )
 
+    def _data_fs_names(self, out_dir: str) -> list[str]:
+        """Child entry names of a just-written output dir, resolved on
+        the DATA filesystem — the FS Spark's writer actually targeted
+        (Hadoop resolves local paths, hdfs:// and s3a:// consistently).
+        The metadata StorageLayer must NOT be consulted for this
+        empty-write guard: data and metadata can live on DIFFERENT
+        stores (Spark writes data through its own FS while the commit
+        protocol talks to e.g. S3Storage), and asking the metadata store
+        about a data path reads as 'nothing written' — which would
+        commit an EMPTY manifest and silently drop the batch."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(path)]
+
     def _write_delta_files_once(self, df: DataFrame, schema_id: str, codec: str = "snappy") -> dict:
         """MAP-ONLY delta write (unbucketed MoR layout): no repartition,
         no partitionBy — the ingest pipeline stays shuffle-free end to
@@ -929,9 +944,7 @@ class LakeTable:
         if codec:
             w = w.option("compression", codec)
         w.parquet(out_dir)
-        if not self.storage.isdir(out_dir) or not any(
-            f.endswith(".parquet") for f in self.storage.listdir(out_dir)
-        ):
+        if not any(f.endswith(".parquet") for f in self._data_fs_names(out_dir)):
             return {}
         counts = (
             self.spark.read.parquet(out_dir)
@@ -1686,7 +1699,14 @@ class LakeTable:
         deleted regardless of age (provably dead); files referenced by
         NOTHING are deleted only when older than the grace window —
         Iceberg's orphan-file age threshold. Pass 0 only when no
-        concurrent writer can exist."""
+        concurrent writer can exist.
+
+        Data-file discovery/deletion goes through the storage layer and
+        assumes data and metadata share one store (true for posix and
+        for S3 where Spark writes via s3a:// into the same bucket). In
+        a hybrid split (local data + remote metadata) the scan finds no
+        data files and vacuum degrades to metadata expiry only — header
+        and manifest cleanup still run."""
         import time as _time
 
         cur = self.current_version()
