@@ -89,6 +89,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style duplicated-span signal: per doc, the fraction of 8-token
+    # span positions whose span also occurs in >=2 other... >=2 distinct
+    # docs total — the boilerplate filter document-level dedup misses
+    from debezium_server_batch_spark.operators.dedup import shared_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return shared_span_stats(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -478,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_upsert": q_cdc_lww_upsert,
         "cdc_append_ledger": q_cdc_append_ledger,
         "dedup_exact": q_dedup_exact,
+        "shared_span_stats": q_shared_span_stats,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -590,6 +601,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
             FROM documents GROUP BY text
+        """,
+        "shared_span_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     md5(unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                                ELSE list_transform(range(1, len(t) - 6),
+                                                    i -> array_to_string(t[i:i+7], ' ')) END)) AS h
+              FROM toks
+            ), freq AS (
+              SELECT h, count(DISTINCT doc_id) AS docs FROM spans GROUP BY h
+            )
+            SELECT s.doc_id AS doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+                   round(sum(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+                       AS shared_span_ratio
+            FROM spans s JOIN freq USING (h)
+            GROUP BY s.doc_id
         """,
         "token_stats": """
             SELECT doc_id,

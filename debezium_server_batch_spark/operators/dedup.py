@@ -98,6 +98,56 @@ def lww_salted(
     )
 
 
+def shared_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics — the C4-style signal
+    ("remove any three-sentence span occurring more than once") adapted
+    to token shingles: per document, how many of its k-token span
+    positions carry a span that also appears in >= `min_docs` distinct
+    documents. High ratios flag boilerplate (navigation, license
+    headers, templated pages) that document-level dedup can't see —
+    the standard next filter in a web-corpus pipeline after url/minhash
+    dedup.
+
+    Returns (id_col, n_spans, n_shared_spans, shared_span_ratio), one
+    row per document (short docs contribute their whole text as one
+    span, matching functions.text.shingles).
+
+    Scale shape (100 TB): explode is O(tokens) map-side; document
+    frequency is distinct + count with partial aggregation; the join
+    back is a hash join on a 32-byte md5 (portable across engines — the
+    oracle recomputes it bit-for-bit). A span repeated only WITHIN one
+    document does not count as shared (frequency is per distinct doc)."""
+    from ..functions.text import shingles
+
+    inst = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+    ).select(F.col(id_col), F.md5("_sh").alias("_h"))
+    docfreq = (
+        inst.distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    return (
+        inst.join(docfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_docs") >= min_docs, 1).otherwise(0)).alias("n_shared_spans"),
+        )
+        .withColumn(
+            "shared_span_ratio",
+            F.round(F.col("n_shared_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_by: str | None = None) -> DataFrame:
     """Exact duplicate removal over `cols` (default: all columns).
 

@@ -77,3 +77,36 @@ def test_exact_dedup_distinct_and_keep_by(spark):
     assert exact_dedup(df, cols=["text"]).count() == 2
     kept = {r["doc_id"] for r in exact_dedup(df, cols=["text"], keep_by="doc_id").collect()}
     assert kept == {1, 3}  # smallest doc_id survives per text group
+
+
+def test_shared_span_stats_semantics(spark):
+    """Spans shared ACROSS >= min_docs distinct documents count as
+    shared; a span repeated only WITHIN one document does not; short
+    docs contribute their whole text as one span."""
+    from debezium_server_batch_spark.operators.dedup import shared_span_stats
+
+    boiler = "this site uses cookies to improve"  # 6 tokens
+    docs = [
+        (1, boiler + " x alpha beta gamma"),
+        (2, boiler + " x delta epsilon zeta"),
+        # doc 3 repeats ITS OWN unique 7-gram twice — not cross-doc
+        (3, "one two three four five six seven one two three four five six seven"),
+        (4, "short doc"),  # < k tokens → one whole-text span, unshared
+        (5, "short doc"),  # identical short doc → whole-text span SHARED
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"], r["shared_span_ratio"])
+        for r in shared_span_stats(df, k=7, min_docs=2).collect()
+    }
+    # docs 1,2: 10 tokens → 4 span positions; only position 0 (the
+    # 6-token boilerplate + the common 'x') occurs in both docs —
+    # positions 1+ pull in the per-doc tail and differ
+    assert out[1][0] == 4 and out[1][1] == 1
+    assert out[2][0] == 4 and out[2][1] == 1
+    # doc 3: 14 tokens → 8 positions; its repeated 7-gram appears at
+    # positions 0 and 7 but in no OTHER doc → nothing shared
+    assert out[3] == (8, 0, 0.0)
+    # identical short docs share their whole-text span
+    assert out[4] == (1, 1, 1.0)
+    assert out[5] == (1, 1, 1.0)

@@ -431,6 +431,35 @@ def test_laketable_commit_protocol_on_s3_surface(spark, tmp_path):
     assert state == {"a": "t3", "c": "t1", "z": "tz"}  # nothing lost
 
 
+def test_filesink_checkpoint_on_s3_surface(spark, tmp_path):
+    """The files-sink checkpoint path against the S3 API surface: the
+    offset checkpoint is an S3 object (written/read/probed via
+    PutObject/GetObject/HeadObject), data files go through Spark's own
+    FS; a throttle on HeadObject must surface, never read as 'no
+    checkpoint' (which would replay the whole log as duplicates)."""
+    from debezium_server_batch_spark.plans.file_sink import FileSink
+
+    client = FakeS3Client()
+    st = S3Storage("bkt", prefix="lake", client=client)
+    sink = FileSink(spark, str(tmp_path / "out"), storage=st)
+    assert sink.checkpoint() is None
+    sink.write(spark.createDataFrame([("a", 1)], "url string, v long"), "pages")
+    sink.commit_checkpoint({"batch_id": 0, "offset_lo": -1, "offset_hi": 7})
+    assert any(k.endswith("_checkpoint.json") or "ckpt" in k or "checkpoint" in k for k in client.objects)
+    assert sink.checkpoint()["offset_hi"] == 7
+    # data landed on the DATA fs, not in the metadata keyspace
+    assert spark.read.parquet(str(tmp_path / "out" / "pages")).count() == 1
+    assert not any("pages" in k and k.endswith(".parquet") for k in client.objects)
+
+    class Throttled(FakeS3Client):
+        def head_object(self, Bucket, Key):
+            raise self.exceptions.ClientError(503)
+
+    sink2 = FileSink(spark, str(tmp_path / "out"), storage=S3Storage("bkt", client=Throttled()))
+    with pytest.raises(Throttled._Exceptions.ClientError):
+        sink2.checkpoint()
+
+
 def test_condput_claim_is_cross_process_atomic(tmp_path):
     """The double's claim must hold across PROCESSES (a real conditional
     PUT serializes server-side): N forked writers racing on one version
