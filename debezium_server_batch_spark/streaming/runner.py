@@ -145,6 +145,16 @@ class PipelineConfig:
     writer_id: str | None = None
     replay_from: int | None = None
     replay_until: int | None = None
+    # dead-letter spool (Debezium/Connect DLQ semantics): events whose
+    # MERGE KEY parses to null — truncated JSON, missing payload, an
+    # envelope without its PK — are EXCLUDED from the merge (they would
+    # otherwise pool into one null-key LWW row polluting the table) and,
+    # when this path is set, their RAW (offset, key, value, destination)
+    # rows are appended here as parquet with batch_id + reason for
+    # replay-after-fix. At-least-once: a crash between the DLQ append
+    # and the checkpoint re-appends on redo — dedupe DLQ rows by offset
+    # downstream. None still excludes; it just doesn't capture.
+    dead_letter: str | None = None
 
 
 @dataclass
@@ -440,6 +450,45 @@ class CdcPipeline:
                 union, _ = evolve_schema(union, st)
             self._union_struct = union
 
+    @staticmethod
+    def _null_key_cond(key):
+        keys = [key] if isinstance(key, str) else list(key)
+        cond = None
+        for k in keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    def _guard_merge_keys(self, df, key):
+        """Dead-letter guard: split rows whose merge key is null out of
+        a parsed group. Returns (valid_df, observation) — the
+        observation's n_dead is read AFTER the merge's own action has
+        consumed the plan, so the zero-malformed common case costs no
+        extra scan (the filter is codegen)."""
+        from pyspark.sql import Observation
+
+        cond = self._null_key_cond(key)
+        obs = Observation()
+        df = df.observe(obs, F.sum(cond.cast("long")).alias("n_dead"))
+        return df.filter(~cond), obs
+
+    def _capture_dead_letter(self, raw, parsed_df, key, batch_id: int) -> None:
+        """Append the RAW rows of this group's null-key events to the
+        DLQ spool. Runs only when the observation reported dead rows —
+        one extra scan of the window, paid exclusively by bad batches."""
+        self._capture_dead_letter_offsets(
+            raw, parsed_df.filter(self._null_key_cond(key)).select("offset"), batch_id
+        )
+
+    def _capture_dead_letter_offsets(self, raw, dead_off, batch_id: int) -> None:
+        (
+            raw.join(dead_off, "offset", "left_semi")
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("reason", F.lit("null-merge-key"))
+            .write.mode("append")
+            .parquet(self.cfg.dead_letter)
+        )
+
     def _process_fast(self, raw, checkpoint: dict, t0: float) -> dict | None:
         """ONE full pass per window instead of two: skip the schema-
         grouping aggregate, parse every row with the cached union schema
@@ -476,6 +525,8 @@ class CdcPipeline:
                 cast_deleted_field=self.cfg.cast_deleted_field,
             )
         )
+        table_key = table.snapshot()["key_col"]
+        valid, dead_obs = self._guard_merge_keys(df, table_key)
 
         stats: dict = {}
 
@@ -488,11 +539,14 @@ class CdcPipeline:
                 raise SchemaDrift(f"unknown schema hashes in window: {sorted(unknown)}")
 
         table.merge(
-            df,
+            valid,
             checkpoint=checkpoint,
             lineage=[{**checkpoint, "fast_path": True}],
             validate=check_drift,
         )
+        n_dead = int(dead_obs.get["n_dead"] or 0)
+        if n_dead and self.cfg.dead_letter:
+            self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
         return {
             **checkpoint,
             "n_events": stats.get("n_events", 0),
@@ -506,6 +560,7 @@ class CdcPipeline:
                 }
             ],
             "merged_rows": table.total_rows(),
+            "dead_letter_rows": n_dead,
             "duration_s": round(time.monotonic() - t0, 3),
         }
 
@@ -574,6 +629,35 @@ class CdcPipeline:
             # merge key: explicit config, else derived per destination
             # from the Debezium key envelope (composite PKs supported)
             key = self.cfg.key_col if self.cfg.key_col is not None else g.key_fields
+            key_cols = [key] if isinstance(key, str) else list(key or [])
+            if not key_cols or any(k not in df.columns for k in key_cols):
+                # the group's schema doesn't even CARRY the merge key —
+                # corrupt envelopes (truncated JSON, missing payload)
+                # land in their own schema/inference group with no key
+                # column. Quarantine the WHOLE group: creating a table
+                # from this schema would be garbage, and merging is
+                # meaningless. If this group was its root's checkpoint
+                # carrier, advance the checkpoint metadata-only on the
+                # existing table so the window isn't replayed forever
+                # (no table yet → the redo after a restart re-captures,
+                # at-least-once DLQ semantics).
+                n_dead = g.row_count_hint or df.count()
+                if self.cfg.dead_letter:
+                    self._capture_dead_letter_offsets(
+                        raw, df.select("offset"), checkpoint["batch_id"]
+                    )
+                if gi == last_group_idx[roots[gi]]:
+                    t = self._table(destination=g.destination)
+                    if t is not None:
+                        t.commit_checkpoint(checkpoint)
+                return {
+                    "destination": g.destination,
+                    "schema_hash": g.schema_hash,
+                    "group_events": g.row_count_hint,
+                    "bucket_rows": None,
+                    "dead_letter_rows": n_dead,
+                    "quarantined_group": True,
+                }
             table = self._table(schema=df.schema, destination=g.destination, key=key)
             table_snap = table.snapshot()
             # dispatch on the TABLE's persisted merge_mode and key, not
@@ -583,13 +667,14 @@ class CdcPipeline:
             # only matter at table creation
             table_key = table_snap["key_col"]
             table_mode = table_snap.get("merge_mode")
+            valid, dead_obs = self._guard_merge_keys(df, table_key)
             if table_mode == "mor" and not self.cfg.prededup:
                 # MoR read-collapse already implements LWW per key over
                 # base+delta; a pre-merge dedup shuffle would be pure
                 # overhead (it only shrinks the delta a hot batch writes)
-                deduped = df
+                deduped = valid
             else:
-                deduped = lww_agg(df, key=table_key, order_by=self.cfg.order_by)
+                deduped = lww_agg(valid, key=table_key, order_by=self.cfg.order_by)
 
             is_last = gi == last_group_idx[roots[gi]]
 
@@ -619,6 +704,11 @@ class CdcPipeline:
                 lineage=[{**checkpoint, **group_record}],
                 rows_hint=g.row_count_hint,
             )
+            n_dead = int(dead_obs.get["n_dead"] or 0)
+            if n_dead:
+                group_record["dead_letter_rows"] = n_dead
+                if self.cfg.dead_letter:
+                    self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
             return group_record
 
         # per-table merges are independent Spark jobs — run one worker

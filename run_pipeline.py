@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
     r.add_argument("--metrics", default=None, help="JSONL lineage side-log path")
+    r.add_argument("--dead-letter", default=None,
+                   help="DLQ spool path: raw rows of events whose merge key parses "
+                   "to null (malformed envelopes) are appended here as parquet; "
+                   "they are excluded from merges either way")
     r.add_argument("--log-format", default="parquet", choices=["parquet", "json"],
                    help="event-log source format (json = jsonlines spool, S6)")
     r.add_argument("--sink", default="laketable", choices=["laketable", "files"],
@@ -184,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                 batch_events=args.batch_events,
                 num_buckets=args.buckets,
                 metrics_path=args.metrics,
+                dead_letter=args.dead_letter,
                 merge_mode=args.merge_mode,
                 delta_layout=args.delta_layout,
                 compact_every=args.compact_every,

@@ -327,6 +327,81 @@ def test_full_pipeline_object_store_semantics(spark, log_path, replayed, tmp_pat
     assert CdcPipeline(spark, cfg).run().batches == 0
 
 
+def test_dead_letter_quarantines_malformed_events(spark, tmp_path):
+    """Events whose merge key parses to null (truncated JSON, missing
+    payload) must NOT land as a null-key row in the table (the pre-r5
+    silent pollution); with dead_letter set their RAW rows are spooled
+    with batch_id + reason, on BOTH the grouped and the fast path."""
+    import json as _json
+
+    def env(url, lsn, off):
+        val = _json.dumps(
+            {
+                "schema": {
+                    "type": "struct",
+                    "fields": [
+                        {"field": "url", "type": "string"},
+                        {"field": "__lsn", "type": "int64"},
+                        {"field": "__deleted", "type": "string"},
+                        {"field": "warc_ts_ms", "type": "int64"},
+                        {"field": "text", "type": "string"},
+                    ],
+                },
+                "payload": {
+                    "url": url, "__lsn": lsn, "__deleted": "false",
+                    "warc_ts_ms": 1_700_000_000_000, "text": f"t{lsn}",
+                },
+            }
+        )
+        return (off, _json.dumps({"schema": None, "payload": {"url": url}}), val, "topic.pages")
+
+    rows = [env("a", 1, 0), env("b", 2, 1)]
+    rows.append((2, None, '{"schema": {"type": "struct", "fi', "topic.pages"))  # truncated
+    rows.append((3, None, '{"something": "else"}', "topic.pages"))  # no payload
+    rows += [env("a", 5, 4), env("c", 6, 5)]
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        rows, "offset long, key string, value string, destination string"
+    ).write.parquet(log)
+
+    root = str(tmp_path / "t")
+    dlq = str(tmp_path / "dlq")
+    cfg = PipelineConfig(
+        log_path=log, table_root=root, batch_window=3, num_buckets=2, dead_letter=dlq
+    )
+    # window 1 (grouped: first contact, schemas unknown) carries both
+    # malformed events; window 2 (fast path: schema now cached) is clean
+    pipe = CdcPipeline(spark, cfg)
+    stats = pipe.run()
+    assert stats.batches == 2
+    assert sum(g.get("dead_letter_rows", 0) for rec in stats.lineage for g in rec.get("groups", [])) == 2
+
+    t = LakeTable.load(spark, root)
+    state = {r["url"]: r["__lsn"] for r in t.read().collect()}
+    assert state == {"a": 5, "b": 2, "c": 6}  # no null-key row, LWW intact
+    assert None not in state
+
+    dead = spark.read.parquet(dlq)
+    assert {r["offset"] for r in dead.select("offset").collect()} == {2, 3}
+    got = {r["offset"]: (r["value"], r["reason"], r["batch_id"]) for r in dead.collect()}
+    assert got[2][0].startswith('{"schema"')  # raw bytes preserved
+    assert got[2][1] == "null-merge-key" and got[2][2] == 0
+
+    # fast path with a malformed tail: the schema is now cached, so a
+    # KNOWN-schema event whose payload carries url=null rides the
+    # optimistic single-pass path and must be quarantined there too
+    more = [env("d", 7, 6), env(None, 8, 7)]
+    spark.createDataFrame(
+        more, "offset long, key string, value string, destination string"
+    ).write.mode("append").parquet(log)
+    stats2 = pipe.run()  # same instance: schema cache warm → fast path
+    assert stats2.batches == 1
+    assert stats2.lineage[0].get("dead_letter_rows", 0) == 1  # fast-path record
+    state = {r["url"]: r["__lsn"] for r in LakeTable.load(spark, root).read().collect()}
+    assert state == {"a": 5, "b": 2, "c": 6, "d": 7}
+    assert {r["offset"] for r in spark.read.parquet(dlq).collect()} == {2, 3, 7}
+
+
 def test_lineage_emitted(spark, log_path, replayed):
     """Every batch leaves a lineage record (offset range, group rows,
     per-bucket counts) in stats and in the snapshot chain."""
