@@ -129,17 +129,24 @@ def shared_span_stats(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), k)).alias("_sh"),
     ).select(F.col(id_col), F.md5("_sh").alias("_h"))
-    docfreq = (
-        inst.distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_docs"))
-    )
+    # aggregate FIRST: (doc, span) instance counts collapse the exploded
+    # instances at the earliest shuffle (map-side combine), and both the
+    # doc-frequency branch and the join branch hang off this ONE
+    # aggregated plan — Spark's ReusedExchange evaluates the explode
+    # chain once, and the join shuffles per-doc-distinct spans instead
+    # of raw instances (the naive inst.join(docfreq) shape re-executed
+    # the whole explode per branch: 2× the scan and a 10M-row join side
+    # at sf0.1)
+    per_doc = inst.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_n_inst"))
+    docfreq = per_doc.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
     return (
-        inst.join(docfreq, "_h")
+        per_doc.join(docfreq, "_h")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("_docs") >= min_docs, 1).otherwise(0)).alias("n_shared_spans"),
+            F.sum("_n_inst").alias("n_spans"),
+            F.sum(F.when(F.col("_docs") >= min_docs, F.col("_n_inst")).otherwise(0)).alias(
+                "n_shared_spans"
+            ),
         )
         .withColumn(
             "shared_span_ratio",
