@@ -534,7 +534,17 @@ class S3Storage:
         except self.s3.exceptions.ClientError as ge:
             if self._is_not_found(ge):
                 if definitive:
-                    return False  # 412-proven lost race; winner since deleted
+                    # 412 + absent: either the winner we lost to was
+                    # deleted in between (vacuum — the common case), or,
+                    # vanishingly, OUR earlier retried attempt won and
+                    # was itself already superseded AND expired (needs
+                    # keep_last newer commits plus a vacuum pass inside
+                    # this read-back window). Returning False is correct
+                    # for the former and safe for the latter: every
+                    # commit type is rebase/LWW-idempotent, so the redo
+                    # re-applies onto the current snapshot (a rewrite
+                    # recomputes wastefully; nothing double-applies).
+                    return False
                 raise on_absent from None
             raise on_absent from ge
 

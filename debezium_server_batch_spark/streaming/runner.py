@@ -151,9 +151,17 @@ class PipelineConfig:
     # otherwise pool into one null-key LWW row polluting the table) and,
     # when this path is set, their RAW (offset, key, value, destination)
     # rows are appended here as parquet with batch_id + reason for
-    # replay-after-fix. At-least-once: a crash between the DLQ append
-    # and the checkpoint re-appends on redo — dedupe DLQ rows by offset
-    # downstream. None still excludes; it just doesn't capture.
+    # replay-after-fix. At-least-once: the capture lands BEFORE the
+    # window's checkpoint commit (two-phase; one extra metadata-only
+    # commit per window when enabled), so a crash in between re-runs
+    # the window and re-appends — dedupe DLQ rows by offset downstream.
+    # Known corner: a destination whose EVERY event is malformed has no
+    # table to checkpoint into, so each process RESTART re-captures its
+    # rows until one valid event creates the table (offset-dedupe makes
+    # this harmless). Multi-process writers should use per-writer DLQ
+    # paths (appends to one path are serialized only within a process).
+    # None still excludes null-key rows from merges; it just doesn't
+    # capture them.
     dead_letter: str | None = None
 
 
@@ -187,6 +195,9 @@ class CdcPipeline:
         # known-schema cache for the optimistic single-pass fast path
         # (single-table mode): schema_hash → connect-schema JSON
         self._known_schemas: dict[int, str] = {}
+        import threading as _threading
+
+        self._dlq_lock = _threading.Lock()
         self._union_struct = None
         self.file_sink = None
         if config.sink == "files":
@@ -481,13 +492,19 @@ class CdcPipeline:
         )
 
     def _capture_dead_letter_offsets(self, raw, dead_off, batch_id: int) -> None:
-        (
-            raw.join(dead_off, "offset", "left_semi")
-            .withColumn("batch_id", F.lit(batch_id))
-            .withColumn("reason", F.lit("null-merge-key"))
-            .write.mode("append")
-            .parquet(self.cfg.dead_letter)
-        )
+        # serialized: concurrent parquet appends to ONE path from the
+        # parallel per-root merge workers would race on the writer's
+        # shared _temporary staging dir (the first job's commit cleans
+        # it up under the second job's tasks). Multi-PROCESS writers
+        # (writer_id) should point at per-writer dead_letter paths.
+        with self._dlq_lock:
+            (
+                raw.join(dead_off, "offset", "left_semi")
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("reason", F.lit("null-merge-key"))
+                .write.mode("append")
+                .parquet(self.cfg.dead_letter)
+            )
 
     def _process_fast(self, raw, checkpoint: dict, t0: float) -> dict | None:
         """ONE full pass per window instead of two: skip the schema-
@@ -504,7 +521,10 @@ class CdcPipeline:
         from ..operators.envelope import OFFSET, VALUE, filter_tombstones
 
         table = self._table()
-        if table is None or table.snapshot().get("merge_mode") != "mor":
+        if table is None:
+            return None
+        snap = table.snapshot()
+        if snap.get("merge_mode") != "mor":
             return None
         import pyspark.sql.types as T
 
@@ -525,7 +545,7 @@ class CdcPipeline:
                 cast_deleted_field=self.cfg.cast_deleted_field,
             )
         )
-        table_key = table.snapshot()["key_col"]
+        table_key = snap["key_col"]
         valid, dead_obs = self._guard_merge_keys(df, table_key)
 
         stats: dict = {}
@@ -538,15 +558,27 @@ class CdcPipeline:
             if unknown:
                 raise SchemaDrift(f"unknown schema hashes in window: {sorted(unknown)}")
 
+        # two-phase when the DLQ is on: the checkpoint must commit AFTER
+        # the capture, or a crash between a checkpointed merge and the
+        # spool append would lose the malformed rows forever (they are
+        # excluded from the table AND never spooled — the window would
+        # never be redone). Cost: one metadata-only commit per window,
+        # only with dead_letter set.
+        dlq = self.cfg.dead_letter
         table.merge(
             valid,
-            checkpoint=checkpoint,
+            checkpoint=None if dlq else checkpoint,
             lineage=[{**checkpoint, "fast_path": True}],
             validate=check_drift,
         )
         n_dead = int(dead_obs.get["n_dead"] or 0)
-        if n_dead and self.cfg.dead_letter:
-            self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
+        if dlq:
+            if n_dead:
+                self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
+            table.commit_checkpoint(
+                checkpoint,
+                lineage=[{**checkpoint, "fast_path": True, "dead_letter_rows": n_dead}],
+            )
         return {
             **checkpoint,
             "n_events": stats.get("n_events", 0),
@@ -698,17 +730,26 @@ class CdcPipeline:
                 "group_events": g.row_count_hint,
                 "bucket_rows": bucket_counts,
             }
+            # two-phase when the DLQ is on and this group carries the
+            # window checkpoint: capture must land BEFORE the
+            # checkpoint commit (see _process_fast) — otherwise a crash
+            # in between loses the malformed rows forever
+            dlq = self.cfg.dead_letter
             table.merge(
                 deduped,
-                checkpoint=checkpoint if is_last else None,
+                checkpoint=checkpoint if (is_last and not dlq) else None,
                 lineage=[{**checkpoint, **group_record}],
                 rows_hint=g.row_count_hint,
             )
             n_dead = int(dead_obs.get["n_dead"] or 0)
             if n_dead:
                 group_record["dead_letter_rows"] = n_dead
-                if self.cfg.dead_letter:
+                if dlq:
                     self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
+            if is_last and dlq:
+                table.commit_checkpoint(
+                    checkpoint, lineage=[{**checkpoint, **group_record}]
+                )
             return group_record
 
         # per-table merges are independent Spark jobs — run one worker
