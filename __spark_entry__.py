@@ -99,6 +99,16 @@ def q_shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_stats(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
 
 
+def q_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style boilerplate REMOVAL: drop every token covered by an
+    # 8-token span occurring in >=2 distinct docs; docs with nothing to
+    # remove keep their original text byte-for-byte
+    from debezium_server_batch_spark.operators.dedup import remove_shared_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_shared_spans(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_append_ledger": q_cdc_append_ledger,
         "dedup_exact": q_dedup_exact,
         "shared_span_stats": q_shared_span_stats,
+        "remove_shared_spans": q_remove_shared_spans,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -622,6 +633,41 @@ def oracle_sql() -> dict[str, str]:
                        AS shared_span_ratio
             FROM spans s JOIN freq USING (h)
             GROUP BY s.doc_id
+        """,
+        "remove_shared_spans": """
+            WITH toks AS (
+              SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) < 8 THEN [0]
+                            ELSE range(0, len(t) - 7) END) AS p,
+                     unnest(CASE WHEN len(t) < 8
+                            THEN [md5(lower(array_to_string(t, ' ')))]
+                            ELSE list_transform(range(0, len(t) - 7),
+                                 i -> md5(lower(array_to_string(t[i+1:i+8], ' ')))) END) AS h
+              FROM toks
+            ), freq AS (
+              SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS docs
+                             FROM spans GROUP BY h) WHERE docs >= 2
+            ), covered AS (
+              SELECT doc_id,
+                     flatten(list_transform(list(DISTINCT p), s -> range(s, s + 8))) AS cov
+              FROM spans WHERE h IN (SELECT h FROM freq)
+              GROUP BY doc_id
+            )
+            SELECT tk.doc_id AS doc_id,
+                   CASE WHEN c.cov IS NULL THEN tk.text
+                        -- array_to_string([]) is NULL in DuckDB but
+                        -- concat_ws over [] is '' in Spark: coalesce
+                        ELSE coalesce(array_to_string(
+                               list_transform(
+                                 list_filter(range(0, len(tk.t)),
+                                             i -> NOT list_contains(c.cov, i)),
+                                 i -> tk.t[i+1]),
+                               ' '), '')
+                   END AS clean_text
+            FROM toks tk LEFT JOIN covered c USING (doc_id)
         """,
         "token_stats": """
             SELECT doc_id,

@@ -155,6 +155,105 @@ def shared_span_stats(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL — the transform users run after
+    `shared_span_stats` flags it ("remove any three-sentence span
+    occurring in more than one document", C4 §2.2, adapted to k-token
+    spans like the stats op): every token covered by at least one
+    k-token span whose lowercased form appears in >= `min_docs`
+    DISTINCT documents is dropped; the survivors are re-joined with
+    single spaces. Documents with nothing to remove keep their
+    ORIGINAL text byte-for-byte (no whitespace normalization unless an
+    edit actually happened). Short docs (< k tokens) are one whole-text
+    span — fully boilerplate docs clean to ''.
+
+    Returns (id_col, clean_text), one row per input document.
+
+    Scale shape (100 TB): span enumeration builds (position, md5) pairs
+    INSIDE one array `transform` and explodes structs — O(tokens) rows,
+    never the token array duplicated per position. Document frequency
+    is the same aggregate-first plan as shared_span_stats (per-doc
+    distinct spans collapse at the first shuffle, map-side combine);
+    flagged START positions come back per doc via a left-semi hash
+    join on the 32-hex md5 + collect_set bounded by tokens-per-doc.
+    The rebuild is pure codegen array ops; its worst case is
+    O(tokens x flagged-spans) per doc — web pages are ~10^3 tokens, and
+    docs with zero shared spans skip the rebuild entirely."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("_t"))
+    n = F.size("_t")
+    span_h = lambda s: F.md5(F.lower(s))  # noqa: E731 - portable span hash (oracle mirrors)
+    structs = F.when(
+        n < F.lit(k),
+        F.array(F.struct(F.lit(0).alias("p"), span_h(F.concat_ws(" ", "_t")).alias("h"))),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.struct(
+                i.alias("p"), span_h(F.concat_ws(" ", F.slice("_t", i + 1, k))).alias("h")
+            ),
+        )
+    )
+    # aggregate FIRST, like shared_span_stats: collapse the exploded
+    # instances to one row per (doc, span-hash) with its position set at
+    # the earliest shuffle (map-side partial collect_set), then hang BOTH
+    # the doc-frequency branch and the semi-join off that one aggregated
+    # plan — the _h exchange feeding groupBy(_h) and the join-left are
+    # identical, so Spark reuses it (ReusedExchange) and the explode+md5
+    # chain is evaluated once, not once per branch
+    # the explicit not-null filter matches what the downstream semi-join
+    # pushes into ITS branch — without it the doc-frequency branch's
+    # subplan differs by exactly that filter and the exchange cannot be
+    # shared (null ids carry no spans worth mining anyway; the final
+    # left join still returns such docs untouched)
+    spans = (
+        base.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(structs).alias("_s"))
+        .select(F.col(id_col), F.col("_s.p").alias("_p"), F.col("_s.h").alias("_h"))
+    )
+    per_doc = spans.groupBy(id_col, "_h").agg(F.collect_set("_p").alias("_ps"))
+    shared = (
+        per_doc.groupBy("_h")
+        # sum(size(_ps) >= 1) == count(*) here (every row has positions),
+        # but referencing _ps stops the optimizer pruning collect_set out
+        # of THIS branch's copy of per_doc — both branches' subplans stay
+        # identical, so the (doc,hash) exchange and the scan+explode
+        # below it are computed once and REUSED (a pruned branch re-ran
+        # the whole explode chain: 2x the table scan at 100 TB)
+        .agg(F.sum((F.size("_ps") >= 1).cast("int")).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    flagged = (
+        per_doc.join(shared, "_h", "left_semi")
+        .groupBy(id_col)
+        # one position starts exactly one span, so the flattened lists
+        # are already distinct across hash groups
+        .agg(F.flatten(F.collect_list("_ps")).alias("_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform("_starts", lambda s: F.sequence(s, s + F.lit(k - 1))))
+    )
+    rebuilt = F.concat_ws(
+        " ", F.filter("_t", lambda t, i: ~F.array_contains(covered, i))
+    )
+    return (
+        base.join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_starts").isNull(), F.col(text_col))
+            .otherwise(rebuilt)
+            .alias("clean_text"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_by: str | None = None) -> DataFrame:
     """Exact duplicate removal over `cols` (default: all columns).
 

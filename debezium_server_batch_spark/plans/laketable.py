@@ -64,6 +64,13 @@ class ConcurrentCommitError(RuntimeError):
     silently erase the winner's data files (lost update)."""
 
 
+class UnsupportedFormatVersionError(RuntimeError):
+    """The table's snapshot header declares an on-disk format version
+    newer than this reader understands. Refusing loudly beats mis-reading
+    a future layout as garbage (Iceberg's format-version gate): upgrade
+    the reader, or rewrite the table with a writer of this major."""
+
+
 # type-widening lattice (Connect → Spark types only; SURVEY.md §1.4)
 _PROMOTIONS: dict[tuple[str, str], str] = {
     ("integer", "long"): "long",
@@ -146,6 +153,12 @@ class LakeTable:
 
     META = "_meta"
     DATA = "data"
+    # On-disk format major this writer emits and the newest this reader
+    # accepts. Bump ONLY on layout changes an old reader would mis-read
+    # (not merely ignore); readers refuse newer majors loudly instead of
+    # returning garbage. Headers written before the field existed are
+    # format 1 by definition.
+    FORMAT_VERSION = 1
     # After this many delta manifests accumulate on one bucket, the next
     # commit folds them into a single manifest (amortized O(1) growth of
     # the per-snapshot ref lists — Iceberg's manifest-merge equivalent).
@@ -240,8 +253,14 @@ class LakeTable:
     @classmethod
     def load(cls, spark: SparkSession, root: str, storage=None) -> "LakeTable":
         t = cls(spark, root, storage=storage)
-        if t.current_version() is None:
+        v = t.current_version()
+        if v is None:
             raise FileNotFoundError(f"no LakeTable at {root}")
+        # refuse future on-disk formats at the entry point, before any
+        # caller interprets the layout (header-only read; manifests are
+        # not inflated here)
+        path = os.path.join(t._meta_dir(), f"v{v:08d}.json")
+        t._check_format(json.loads(t.storage.read_text(path)))
         return t
 
     @classmethod
@@ -259,6 +278,15 @@ class LakeTable:
 
     def _meta_dir(self) -> str:
         return os.path.join(self.root, self.META)
+
+    def _check_format(self, snap: dict) -> None:
+        fv = snap.get("format_version", 1)
+        if not isinstance(fv, int) or fv > self.FORMAT_VERSION:
+            raise UnsupportedFormatVersionError(
+                f"table at {self.root} is on-disk format {fv!r}; this reader "
+                f"understands up to format {self.FORMAT_VERSION} — refusing to "
+                "interpret a newer layout (upgrade the reader)"
+            )
 
     def current_version(self) -> int | None:
         meta = self._meta_dir()
@@ -280,6 +308,7 @@ class LakeTable:
                 f"retained versions: {self.versions()}"
             )
         snap = json.loads(self.storage.read_text(path))
+        self._check_format(snap)
         if "buckets" in snap:
             # legacy/pre-segmentation or externally written header with
             # inline file lists: trust it, and drop any (stale) manifest
@@ -393,6 +422,7 @@ class LakeTable:
             # from a genuinely lost race by payload comparison (see
             # S3Storage.claim) — Iceberg's CommitStateUnknown resolution
             snap["commit_uuid"] = uuid.uuid4().hex
+            snap["format_version"] = self.FORMAT_VERSION
             self._externalize_buckets(snap, base)
             final = os.path.join(meta, f"v{snap['version']:08d}.json")
             # atomic create-if-absent: hard-link O_EXCL on POSIX, a

@@ -130,8 +130,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from debezium_server_batch_spark.session import build_session
 
+    # stop only sessions this CLI created: when main() is embedded (tests,
+    # notebooks) it must not tear down the caller's session
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session(master=args.master, shuffle_partitions=args.shuffle_partitions)
     try:
         if args.cmd == "generate":
@@ -246,7 +251,8 @@ def main(argv: list[str] | None = None) -> int:
             removed = t.vacuum(keep_last=args.vacuum_keep)
             print(json.dumps({"version": t.current_version(), "files_removed": len(removed)}))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

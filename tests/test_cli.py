@@ -1,0 +1,89 @@
+"""CLI launcher surface (run_pipeline.py): flag → behavior mapping,
+driven in-process through main(). The soak tools exercise the CLI from
+separate processes; these tests pin the mappings a soak failure would
+otherwise only reveal indirectly (r5 verdict next #8)."""
+
+import json
+
+import pytest
+
+from run_pipeline import main
+
+
+def _last_json(capsys) -> dict:
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert out, "CLI printed no JSON status line"
+    return json.loads(out[-1])
+
+
+@pytest.fixture()
+def tiny_log(spark, tmp_path_factory, request):
+    log = str(tmp_path_factory.mktemp("clilog") / "log")
+    rc = main([
+        "generate", "--out", log, "--pages", "60", "--hot-pages", "2",
+        "--hot-k", "4", "--files", "4",
+    ])
+    assert rc == 0
+    request.node.stash  # keep fixture shape simple; capsys drained by caller
+    return log
+
+
+def test_cli_replay_storage_flaky_maps_to_fault_stack(spark, tiny_log, tmp_path, capsys):
+    """`replay --storage flaky` must wire the canonical degraded stack
+    (RetryingStorage(FlakyStorage(ConditionalPutStorage))) — the exact
+    wiring the soaks measure — and still produce the EXACT posix-replay
+    table state despite injected faults."""
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    capsys.readouterr()  # drop generate output
+    flaky_root = str(tmp_path / "flaky_t")
+    rc = main([
+        "replay", "--log", tiny_log, "--table", flaky_root,
+        "--batch-events", "120", "--buckets", "4",
+        "--storage", "flaky", "--fault-rate", "0.2", "--fault-seed", "7",
+    ])
+    assert rc == 0
+    line = _last_json(capsys)
+    # only the flaky/retrying stack reports these counters — their
+    # presence pins the flag→stack mapping; the seeded 20% rate must
+    # actually inject (a silent no-op flaky mode would report zeros)
+    assert "storage_retries" in line and "storage_faults" in line
+    assert sum(line["storage_faults"].values()) > 0
+    assert line["storage_retries"] > 0
+
+    posix_root = str(tmp_path / "posix_t")
+    rc = main([
+        "replay", "--log", tiny_log, "--table", posix_root,
+        "--batch-events", "120", "--buckets", "4",
+    ])
+    assert rc == 0
+    posix_line = _last_json(capsys)
+    assert "storage_retries" not in posix_line  # posix mode: no fault stack
+    assert posix_line["events"] == line["events"] > 0
+
+    cols = ["url", "text", "__lsn", "__deleted"]
+    flaky_state = {
+        tuple(r) for r in LakeTable.load(spark, flaky_root).read().select(*cols).collect()
+    }
+    posix_state = {
+        tuple(r) for r in LakeTable.load(spark, posix_root).read().select(*cols).collect()
+    }
+    assert flaky_state == posix_state and len(flaky_state) > 0
+
+
+def test_cli_replay_flaky_resume_noop(spark, tiny_log, tmp_path, capsys):
+    """A drained flaky-storage replay resumes as a no-op: the checkpoint
+    survives the injected-fault commit path."""
+    capsys.readouterr()
+    root = str(tmp_path / "t")
+    args = [
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "120", "--buckets", "4",
+        "--storage", "flaky", "--fault-rate", "0.15", "--fault-seed", "11",
+    ]
+    assert main(args) == 0
+    first = _last_json(capsys)
+    assert first["batches"] > 0
+    assert main(args) == 0
+    again = _last_json(capsys)
+    assert again["batches"] == 0 and again["events"] == 0

@@ -110,3 +110,45 @@ def test_shared_span_stats_semantics(spark):
     # identical short docs share their whole-text span
     assert out[4] == (1, 1, 1.0)
     assert out[5] == (1, 1, 1.0)
+
+
+def test_remove_shared_spans_semantics(spark):
+    """C4-style span removal: tokens covered by a k-span occurring in
+    >=2 DISTINCT docs are dropped; untouched docs keep their original
+    bytes (including whitespace); span identity is case-insensitive but
+    kept tokens keep their case; a span repeated only WITHIN one doc is
+    not boilerplate; short shared docs clean to ''."""
+    from debezium_server_batch_spark.operators.dedup import remove_shared_spans
+
+    boiler = "all rights reserved contact us terms of service"  # 8 tokens
+    original_spacing = "totally  original   text with no duplication at all whatsoever"
+    within = "echo echo echo echo echo echo echo echo echo nine distinct tail tokens here now yes"
+    rows = [
+        ("d1", "Alpha beta gamma. " + boiler),
+        ("d2", boiler + " unique middle words here okay"),
+        ("d3", original_spacing),
+        ("d4", "tiny doc"),
+        ("d5", "tiny doc"),
+        ("d6", "ALL RIGHTS RESERVED Contact Us Terms Of Service"),
+        ("d7", within),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in remove_shared_spans(df, k=8, min_docs=2).collect()}
+    assert out["d1"] == "Alpha beta gamma."
+    assert out["d2"] == "unique middle words here okay"
+    # untouched doc: ORIGINAL bytes, double spaces preserved
+    assert out["d3"] == original_spacing
+    # whole-text span shared between two short docs
+    assert out["d4"] == out["d5"] == ""
+    # case-insensitive identity: the uppercase variant is removed too
+    assert out["d6"] == ""
+    # repeated span within ONE doc only: not shared, kept byte-exact
+    assert out["d7"] == within
+
+    # plan shape: the doc-frequency branch and the position join reuse
+    # ONE exchange over the hash-partitioned spans (explode+md5 chain
+    # evaluated once, not once per branch) — check the FINAL adaptive plan
+    q = remove_shared_spans(df, k=8, min_docs=2)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

@@ -1284,3 +1284,49 @@ def test_follow_loop_paces_and_converges(spark, tmp_path):
     assert stats[2]["noop"]
     assert w.calls == [1, 1]  # paced between ticks, not after the last
     assert {r["url"] for r in silver.read().collect()} == {"a", "b"}
+
+
+def test_format_version_gate(spark, table, tmp_path):
+    """Every snapshot header carries format_version; a doctored header
+    declaring a FUTURE major is refused loudly at load() and snapshot()
+    instead of mis-read as garbage, and pre-versioning headers (field
+    absent) keep loading as format 1 (r5 verdict next #5)."""
+    import json as _json
+
+    from debezium_server_batch_spark.plans.laketable import UnsupportedFormatVersionError
+
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    snap = table.snapshot()
+    assert snap["format_version"] == LakeTable.FORMAT_VERSION == 1
+
+    meta = os.path.join(table.root, LakeTable.META)
+    cur = table.current_version()
+
+    # pre-versioning header (no field): still loads, reads as format 1
+    legacy = dict(_json.loads(open(os.path.join(meta, f"v{cur:08d}.json")).read()))
+    legacy.pop("format_version")
+    legacy["version"] = cur + 1
+    legacy["parent"] = cur
+    with open(os.path.join(meta, f"v{cur + 1:08d}.json"), "w") as fh:
+        fh.write(_json.dumps(legacy))
+    t = LakeTable.load(spark, table.root)
+    assert t.snapshot().get("format_version") is None  # absent == v1
+    assert {r["url"] for r in t.read().collect()} == {"a"}
+
+    # future-major header: both entry points refuse with a clear error
+    future = dict(legacy)
+    future["format_version"] = 99
+    future["version"] = cur + 2
+    future["parent"] = cur + 1
+    with open(os.path.join(meta, f"v{cur + 2:08d}.json"), "w") as fh:
+        fh.write(_json.dumps(future))
+    with pytest.raises(UnsupportedFormatVersionError, match="format 99"):
+        LakeTable.load(spark, table.root)
+    with pytest.raises(UnsupportedFormatVersionError, match="format 99"):
+        t.snapshot()  # already-loaded handle refuses too
+    # non-integer majors are refused, not coerced
+    future["format_version"] = "2.0"
+    with open(os.path.join(meta, f"v{cur + 2:08d}.json"), "w") as fh:
+        fh.write(_json.dumps(future))
+    with pytest.raises(UnsupportedFormatVersionError):
+        LakeTable.load(spark, table.root)
