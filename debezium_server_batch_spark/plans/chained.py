@@ -32,7 +32,9 @@ from ..operators.dedup import lww_agg
 from .laketable import LakeTable
 
 
-def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
+def sync_incremental(
+    src: LakeTable, dst: LakeTable, transform=None, dead_letter: str | None = None
+) -> dict:
     """One incremental sync step from `src` into `dst`.
 
     * First call (no `src_version` in dst's checkpoint): bootstrap — a
@@ -42,18 +44,32 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
       the last sync merges once, with its newest version).
     * `transform(df) -> df`: optional row-level cleanup applied before
       the merge (filters/projections; must keep dst's key and order_by
-      columns).
+      columns). Rows whose merge key comes out NULL (a transform
+      failure: broken parse, unextractable key) are ALWAYS excluded
+      from the merge — a null-key row in the destination would be
+      garbage — and, with `dead_letter` set, their post-transform rows
+      are spooled there (parquet append, + src_version/reason columns)
+      BEFORE the checkpoint commits, so a crash cannot lose them: the
+      redo re-captures, at-least-once. NOTE: quarantine-by-key must be
+      driven by IMMUTABLE row attributes for incremental consumption to
+      stay equivalent to a from-scratch transform (same rule as
+      filters — a key whose newer version fails keeps its older synced
+      row downstream, where a from-scratch run would drop the key).
 
-    Returns {"src_version", "rows_synced", "noop", "bootstrap"} —
-    `bootstrap` is True for the first full read AND for a vacuum-horizon
-    re-bootstrap. Calling again with no new upstream commits is a no-op
-    (and a crashed step re-runs idempotently — the checkpoint only
-    advances with its data)."""
+    Returns {"src_version", "rows_synced", "noop", "bootstrap",
+    "dead_letter_rows"} — `bootstrap` is True for the first full read
+    AND for a vacuum-horizon re-bootstrap. Calling again with no new
+    upstream commits is a no-op (and a crashed step re-runs
+    idempotently — the checkpoint only advances with its data)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     cur = src.current_version()
     ck = dst.checkpoint() or {}
     since = ck.get("src_version", -1)
     if since == cur:
-        return {"src_version": cur, "rows_synced": 0, "noop": True, "bootstrap": False}
+        return {"src_version": cur, "rows_synced": 0, "noop": True,
+                "bootstrap": False, "dead_letter_rows": 0}
 
     bootstrap = since < 0
     if bootstrap:
@@ -78,18 +94,46 @@ def sync_incremental(src: LakeTable, dst: LakeTable, transform=None) -> dict:
         df = transform(df)
 
     snap = dst.snapshot()
-    deduped = lww_agg(df, key=snap["key_col"], order_by=tuple(snap["order_by"]))
+    key = snap["key_col"]
+    keys = [key] if isinstance(key, str) else list(key)
+    # null-key guard (runner parity): observe() makes the common
+    # zero-failure case cost nothing extra — the count below consumes
+    # the same plan; only ticks that actually saw failures pay the
+    # re-scan for the spool append
+    null_cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    obs = Observation()
+    valid = df.observe(obs, F.sum(null_cond.cast("long")).alias("n_dead")).filter(~null_cond)
+
+    deduped = lww_agg(valid, key=key, order_by=tuple(snap["order_by"]))
     # persist: the plan (changes file-diff scan + CoW anti-joins +
     # LWW shuffle) feeds BOTH the row count and the merge — without it
     # the whole incremental read would execute twice per tick
     deduped = deduped.persist()
     try:
         n = deduped.count()
+        n_dead = int(obs.get["n_dead"] or 0)
+        if n_dead and dead_letter is not None:
+            # spool BEFORE any checkpoint commit (two-phase ordering):
+            # a crash after the spool redoes the tick and re-captures
+            # (at-least-once); a crash before it never advanced the
+            # checkpoint, so nothing is lost either way
+            (
+                df.filter(null_cond)
+                .withColumn("src_version", F.lit(cur))
+                .withColumn("reason", F.lit("null-merge-key-after-transform"))
+                .write.mode("append")
+                .parquet(dead_letter)
+            )
+        stats = {"src_version": cur, "rows_synced": n, "noop": False,
+                 "bootstrap": bootstrap, "dead_letter_rows": n_dead}
         if n == 0:
             dst.commit_checkpoint({**ck, "src_version": cur})
-            return {"src_version": cur, "rows_synced": 0, "noop": False, "bootstrap": bootstrap}
+            return stats
         dst.merge(deduped, checkpoint={**ck, "src_version": cur}, rows_hint=n)
-        return {"src_version": cur, "rows_synced": n, "noop": False, "bootstrap": bootstrap}
+        return stats
     finally:
         deduped.unpersist()
 

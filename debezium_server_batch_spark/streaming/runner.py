@@ -45,6 +45,19 @@ class SchemaDrift(Exception):
     schema it didn't know — the window is redone on the grouped path."""
 
 
+def _failpoint(name: str, batch_id: int) -> None:
+    """Deterministic crash injection for the soak tools: when env
+    SPARK_GRAFT_FAILPOINT equals ``<name>:<batch_id>`` or ``<name>:*``,
+    hard-exit the process right here (os._exit — no cleanup, no finally
+    blocks, same observable effect as SIGKILL). Inert unless the env var
+    is set; used by tools/crash_soak.py to land kills exactly inside the
+    merge→spool→checkpoint two-phase window instead of hoping a timed
+    kill hits it."""
+    fp = os.environ.get("SPARK_GRAFT_FAILPOINT")
+    if fp and fp in (f"{name}:{batch_id}", f"{name}:*"):
+        os._exit(137)
+
+
 @dataclass
 class PipelineConfig:
     log_path: str
@@ -198,6 +211,16 @@ class CdcPipeline:
         import threading as _threading
 
         self._dlq_lock = _threading.Lock()
+        # multi-PROCESS writers sharing one --dead-letter root would race
+        # on the parquet writer's shared _temporary staging dir — derive
+        # a per-writer partition dir automatically (hive-style, so a read
+        # of the ROOT unions every writer's spool with a `writer` column;
+        # see read_dead_letters)
+        self.dlq_path = (
+            os.path.join(config.dead_letter, f"writer={config.writer_id}")
+            if config.dead_letter and config.writer_id
+            else config.dead_letter
+        )
         self._union_struct = None
         self.file_sink = None
         if config.sink == "files":
@@ -512,14 +535,15 @@ class CdcPipeline:
         # parallel per-root merge workers would race on the writer's
         # shared _temporary staging dir (the first job's commit cleans
         # it up under the second job's tasks). Multi-PROCESS writers
-        # (writer_id) should point at per-writer dead_letter paths.
+        # (writer_id) land in per-writer writer=<id>/ subdirs (dlq_path)
+        # so their appends never share a staging dir either.
         with self._dlq_lock:
             (
                 raw.join(dead_off, "offset", "left_semi")
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("reason", F.lit("null-merge-key"))
                 .write.mode("append")
-                .parquet(self.cfg.dead_letter)
+                .parquet(self.dlq_path)
             )
 
     def _process_fast(self, raw, checkpoint: dict, t0: float) -> dict | None:
@@ -589,8 +613,10 @@ class CdcPipeline:
         )
         n_dead = int(dead_obs.get["n_dead"] or 0)
         if dlq:
+            _failpoint("dlq_pre_spool", checkpoint["batch_id"])
             if n_dead:
                 self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
+            _failpoint("dlq_pre_checkpoint", checkpoint["batch_id"])
             table.commit_checkpoint(
                 checkpoint,
                 lineage=[{**checkpoint, "fast_path": True, "dead_letter_rows": n_dead}],
@@ -711,12 +737,15 @@ class CdcPipeline:
                 # at-least-once DLQ semantics).
                 n_dead = g.row_count_hint or df.count()
                 if self.cfg.dead_letter:
+                    _failpoint("dlq_pre_spool", checkpoint["batch_id"])
                     self._capture_dead_letter_offsets(
                         raw, df.select("offset"), checkpoint["batch_id"]
                     )
                 if gi == last_group_idx[roots[gi]] and not ckpt_barrier:
                     t = self._table(destination=g.destination)
                     if t is not None:
+                        if self.cfg.dead_letter:
+                            _failpoint("dlq_pre_checkpoint", checkpoint["batch_id"])
                         t.commit_checkpoint(checkpoint)
                 return {
                     "destination": g.destination,
@@ -778,11 +807,14 @@ class CdcPipeline:
                 rows_hint=g.row_count_hint,
             )
             n_dead = int(dead_obs.get["n_dead"] or 0)
+            if dlq:
+                _failpoint("dlq_pre_spool", checkpoint["batch_id"])
             if n_dead:
                 group_record["dead_letter_rows"] = n_dead
                 if dlq:
                     self._capture_dead_letter(raw, df, table_key, checkpoint["batch_id"])
             if is_last and dlq:
+                _failpoint("dlq_pre_checkpoint", checkpoint["batch_id"])
                 table.commit_checkpoint(
                     checkpoint, lineage=[{**checkpoint, **group_record}]
                 )
@@ -844,3 +876,16 @@ class CdcPipeline:
             "merged_rows": sum(t.total_rows() for t in self._all_tables()),
             "duration_s": round(time.monotonic() - t0, 3),
         }
+
+
+def read_dead_letters(spark: SparkSession, path: str):
+    """Union every writer's DLQ spool under `path` into one DataFrame.
+
+    Single-writer runs spool flat parquet files at `path`; writer_id
+    runs spool under hive-style ``writer=<id>/`` subdirs (see
+    CdcPipeline.dlq_path), which Spark's partition discovery surfaces as
+    a ``writer`` column — either layout reads with this one call. DLQ
+    capture is at-least-once across crash/redo windows: a given offset's
+    raw row is immutable, so ``dropDuplicates(["offset"])`` yields the
+    exactly-once view."""
+    return spark.read.parquet(path)

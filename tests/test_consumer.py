@@ -435,6 +435,68 @@ def test_dead_letter_quarantines_malformed_events(spark, tmp_path):
     assert {r["offset"] for r in spark.read.parquet(dlq).collect()} == {2, 3, 7}
 
 
+def test_per_writer_dead_letter_paths(spark, tmp_path):
+    """Two writer_id pipelines sharing ONE dead_letter root must spool
+    into writer=<id>/ subdirs automatically (multi-process appends to a
+    flat path race on the parquet writer's shared _temporary staging
+    dir); read_dead_letters unions the spools with writer provenance and
+    the union equals the injected malformed set exactly (r5 verdict
+    next #3)."""
+    import json as _json
+    import os as _os
+
+    from debezium_server_batch_spark.streaming.runner import read_dead_letters
+
+    def env(url, lsn, off):
+        val = _json.dumps({
+            "schema": {"type": "struct", "fields": [
+                {"field": "url", "type": "string"},
+                {"field": "__lsn", "type": "int64"},
+                {"field": "__deleted", "type": "string"},
+                {"field": "warc_ts_ms", "type": "int64"},
+                {"field": "text", "type": "string"}]},
+            "payload": {"url": url, "__lsn": lsn, "__deleted": "false",
+                        "warc_ts_ms": 1_700_000_000_000, "text": f"t{lsn}"},
+        })
+        return (off, _json.dumps({"schema": None, "payload": {"url": url}}), val, "topic.pages")
+
+    rows = [env("a", 1, 0)]
+    rows.append((1, None, '{"schema": {"type": "struct", "fi', "topic.pages"))  # slice A corrupt
+    rows += [env("b", 3, 2), env("c", 4, 3)]
+    rows.append((4, None, '{"no": "payload"}', "topic.pages"))  # slice B corrupt
+    rows += [env("d", 6, 5)]
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        rows, "offset long, key string, value string, destination string"
+    ).write.parquet(log)
+
+    root = str(tmp_path / "t")
+    dlq = str(tmp_path / "dlq")
+
+    def cfg(**kw):
+        return PipelineConfig(
+            log_path=log, table_root=root, batch_window=3, num_buckets=2,
+            dead_letter=dlq, **kw)
+
+    CdcPipeline(spark, cfg(writer_id="wA", replay_until=2)).run()
+    CdcPipeline(spark, cfg(writer_id="wB", replay_from=3)).run()
+
+    # per-writer partition dirs, no flat files at the shared root
+    assert _os.path.isdir(_os.path.join(dlq, "writer=wA"))
+    assert _os.path.isdir(_os.path.join(dlq, "writer=wB"))
+    assert not any(f.endswith(".parquet") for f in _os.listdir(dlq))
+
+    dead = read_dead_letters(spark, dlq)
+    got = {(r["offset"], r["writer"]) for r in dead.select("offset", "writer").collect()}
+    assert got == {(1, "wA"), (4, "wB")}  # union == injected malformed set
+    # raw rows intact (no spool corruption)
+    vals = {r["offset"]: r["value"] for r in dead.collect()}
+    assert vals[1].startswith('{"schema"') and vals[4] == '{"no": "payload"}'
+
+    state = {r["url"]: r["__lsn"] for r in LakeTable.load(spark, root).read().collect()}
+    assert state == {"a": 1, "b": 3, "c": 4, "d": 6}
+
+
 def test_lineage_emitted(spark, log_path, replayed):
     """Every batch leaves a lineage record (offset range, group rows,
     per-bucket counts) in stats and in the snapshot chain."""

@@ -1224,6 +1224,56 @@ def test_chained_pipeline_sync_incremental(spark, tmp_path):
     )
 
 
+def test_sync_incremental_transform_failure_dead_letter(spark, tmp_path):
+    """Transform failures (merge key nulled by the transform) are ALWAYS
+    excluded from the downstream merge, and with dead_letter set their
+    post-transform rows are spooled BEFORE the checkpoint commits —
+    exactly-once for the table, at-least-once for the spool (r5 verdict
+    next #7)."""
+    from debezium_server_batch_spark.plans.chained import sync_incremental
+
+    bronze = LakeTable.create(
+        spark, str(tmp_path / "bronze"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    silver = LakeTable.create(
+        spark, str(tmp_path / "silver"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    dlq = str(tmp_path / "dlq")
+    # deterministic failure on an immutable attribute: keys starting
+    # with 'x' null out (unextractable-key shape)
+    fail_x = lambda df: df.withColumn(  # noqa: E731
+        "url", F.when(F.col("url").startswith("x"), F.lit(None)).otherwise(F.col("url"))
+    )
+
+    bronze.merge(_batch(spark, [("a", "t1", 1, False), ("x1", "bad", 2, False)]))
+    r1 = sync_incremental(bronze, silver, transform=fail_x, dead_letter=dlq)
+    assert r1["rows_synced"] == 1 and r1["dead_letter_rows"] == 1
+    assert {r["url"] for r in silver.read().collect()} == {"a"}  # no null-key row
+
+    spooled = spark.read.parquet(dlq)
+    assert spooled.count() == 1
+    row = spooled.collect()[0]
+    assert row["url"] is None and row["text"] == "bad"
+    assert row["reason"] == "null-merge-key-after-transform"
+    assert row["src_version"] == r1["src_version"]
+
+    # clean tick: no dead rows, no spool growth, checkpoint advances
+    bronze.merge(_batch(spark, [("b", "t1", 3, False)]))
+    r2 = sync_incremental(bronze, silver, transform=fail_x, dead_letter=dlq)
+    assert r2["rows_synced"] == 1 and r2["dead_letter_rows"] == 0
+    assert spark.read.parquet(dlq).count() == 1
+    assert sync_incremental(bronze, silver, transform=fail_x, dead_letter=dlq)["noop"]
+
+    # without dead_letter the guard still excludes null keys (no silent
+    # table pollution), just without the spool
+    bronze.merge(_batch(spark, [("x2", "bad2", 4, False), ("c", "t1", 5, False)]))
+    r3 = sync_incremental(bronze, silver, transform=fail_x)
+    assert r3["rows_synced"] == 1 and r3["dead_letter_rows"] == 1
+    assert {r["url"] for r in silver.read().collect()} == {"a", "b", "c"}
+
+
 def test_sync_incremental_rebootstraps_after_vacuum_expiry(spark, tmp_path):
     """A follower that fell behind the upstream vacuum horizon (its
     last-synced version header expired) must RE-BOOTSTRAP from the full

@@ -1,9 +1,17 @@
-"""Chained-pipeline (bronze→silver) crash soak (r4 verdict next-round
-#4): SIGKILL the follow daemon repeatedly mid-sync — between its
-upstream changelog read and its downstream commit — while the bronze
-table is being written by a LIVE replay process AND periodically
-compacted + vacuumed. After every resume (and at the end), silver must
-equal a from-scratch transform of bronze, row-exact.
+"""Chained-pipeline (bronze→silver→gold) crash soak (r4 verdict #4 +
+r5 verdict #7): SIGKILL the follow daemon repeatedly mid-sync — between
+its upstream changelog read and its downstream commit, at EITHER hop —
+while the bronze table is being written by a LIVE replay process AND
+periodically compacted + vacuumed. After every resume (and at the end),
+silver AND gold must equal a from-scratch transform chain of bronze,
+row-exact.
+
+The silver→gold transform additionally FAILS deterministically for a
+slice of keys (url-hash → merge key nulled), exercising
+sync_incremental's transform-failure dead-letter path: failed rows are
+spooled before the checkpoint commits, so kills cannot lose them —
+asserted at the end (every final-state failed key's row is in the
+spool; duplicates from redone ticks allowed and quantified).
 
 What each kill exercises: sync_incremental's exactly-once contract (the
 consumed upstream version commits atomically WITH its data, so a death
@@ -21,7 +29,7 @@ equivalent to a from-scratch transform (filters on MUTABLE columns are
 not, by construction, and sync_incremental's docstring says so).
 
 Usage: python tools/chained_crash_soak.py [n_pages=8000] [cores=8]
-       python tools/chained_crash_soak.py daemon <bronze> <silver>  (internal)
+       python tools/chained_crash_soak.py daemon <bronze> <silver> <gold> <dlq>  (internal)
 Prints one JSON line with kills, ticks, rebootstraps, and the equality
 verdict.
 """
@@ -51,31 +59,72 @@ def _transform_fn():
     )
 
 
-def daemon(bronze_root: str, silver_root: str) -> None:
-    """The follow daemon: create silver if needed, then tail bronze
-    forever, printing one JSON line per tick (killed externally)."""
+def _transform2_fn():
+    from pyspark.sql import functions as F
+
+    # silver→gold: immutable routing filter + derived col + DETERMINISTIC
+    # transform failures — an immutable slice of keys (url-hash % 17 == 1)
+    # nulls its merge key, the shape sync_incremental quarantines. The
+    # failure rule MUST key on immutable attributes (like the filter) for
+    # incremental == from-scratch to hold (chained.sync_incremental doc).
+    def tf(df):
+        return (
+            df.filter(F.pmod(F.xxhash64(KEY), F.lit(3)) != 2)
+            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+            .withColumn(
+                KEY,
+                F.when(F.pmod(F.xxhash64(KEY), F.lit(17)) == 1, F.lit(None)).otherwise(
+                    F.col(KEY)
+                ),
+            )
+        )
+
+    return tf
+
+
+def _ensure_table(spark, LakeTable, ConcurrentCommitError, root, schema, order_by):
+    if not LakeTable.exists(root):
+        try:
+            LakeTable.create(
+                spark, root, schema, key_col=KEY, num_buckets=4,
+                order_by=order_by, merge_mode="mor", delta_layout="unbucketed",
+            )
+        except ConcurrentCommitError:
+            pass  # a previous incarnation created it first
+    return LakeTable.load(spark, root)
+
+
+def daemon(bronze_root: str, silver_root: str, gold_root: str, dlq: str) -> None:
+    """The follow daemon: create silver/gold if needed, then tail
+    bronze→silver→gold forever, printing one JSON line per tick per hop
+    (killed externally — kills land inside EITHER hop or between them)."""
     from debezium_server_batch_spark.plans.chained import sync_incremental
     from debezium_server_batch_spark.plans.laketable import ConcurrentCommitError, LakeTable
     from debezium_server_batch_spark.session import build_session
 
     spark = build_session(master="local[4]", shuffle_partitions=8)
     bronze = LakeTable.load(spark, bronze_root)
-    tf = _transform_fn()
-    if not LakeTable.exists(silver_root):
-        schema = tf(bronze.read(include_deleted=True)).schema
-        try:
-            LakeTable.create(
-                spark, silver_root, schema, key_col=KEY, num_buckets=4,
-                order_by=tuple(bronze.snapshot()["order_by"]),
-                merge_mode="mor", delta_layout="unbucketed",
-            )
-        except ConcurrentCommitError:
-            pass  # a previous incarnation created it first
-    silver = LakeTable.load(spark, silver_root)
+    tf, tf2 = _transform_fn(), _transform2_fn()
+    order_by = tuple(bronze.snapshot()["order_by"])
+    silver = _ensure_table(
+        spark, LakeTable, ConcurrentCommitError, silver_root,
+        tf(bronze.read(include_deleted=True)).schema, order_by,
+    )
+    gold = None
     while True:
         r = sync_incremental(bronze, silver, transform=tf)
-        print(json.dumps(r), flush=True)
-        if r["noop"]:
+        print(json.dumps({"hop": "silver", **r}), flush=True)
+        if gold is None and silver.total_rows() > 0:
+            gold = _ensure_table(
+                spark, LakeTable, ConcurrentCommitError, gold_root,
+                tf2(silver.read(include_deleted=True)).schema, order_by,
+            )
+        if gold is not None:
+            r2 = sync_incremental(silver, gold, transform=tf2, dead_letter=dlq)
+            print(json.dumps({"hop": "gold", **r2}), flush=True)
+            if r["noop"] and r2["noop"]:
+                time.sleep(0.5)
+        elif r["noop"]:
             time.sleep(0.5)
 
 
@@ -86,7 +135,9 @@ def main() -> None:
     log = f"/tmp/chained-soak-log-{n_pages}"
     bronze = "/dev/shm/chained-soak-bronze"
     silver = "/dev/shm/chained-soak-silver"
-    for d in (bronze, silver):
+    gold = "/dev/shm/chained-soak-gold"
+    dlq = "/dev/shm/chained-soak-dlq"
+    for d in (bronze, silver, gold, dlq):
         shutil.rmtree(d, ignore_errors=True)
 
     def cli(args, **kw):
@@ -111,7 +162,7 @@ def main() -> None:
 
     def spawn_daemon():
         return subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "daemon", bronze, silver],
+            [sys.executable, os.path.abspath(__file__), "daemon", bronze, silver, gold, dlq],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
         )
 
@@ -159,46 +210,79 @@ def main() -> None:
                 rebootstraps += bool(t.get("bootstrap"))
 
     # final clean drain + from-scratch verification, in-process
+    from pyspark.sql import functions as F
+
     from debezium_server_batch_spark.plans.chained import sync_incremental
-    from debezium_server_batch_spark.plans.laketable import LakeTable
+    from debezium_server_batch_spark.plans.laketable import ConcurrentCommitError, LakeTable
     from debezium_server_batch_spark.session import build_session
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores)
-    tf = _transform_fn()
+    tf, tf2 = _transform_fn(), _transform2_fn()
     b = LakeTable.load(spark, bronze)
-    if not LakeTable.exists(silver):
-        # every incarnation died before creating silver (possible at
-        # tiny kill windows) — bootstrap now
-        schema = tf(b.read(include_deleted=True)).schema
-        LakeTable.create(
-            spark, silver, schema, key_col=KEY, num_buckets=4,
-            order_by=tuple(b.snapshot()["order_by"]),
-            merge_mode="mor", delta_layout="unbucketed",
-        )
-    s = LakeTable.load(spark, silver)
+    order_by = tuple(b.snapshot()["order_by"])
+    # every incarnation may have died before creating silver/gold
+    # (possible at tiny kill windows) — bootstrap now
+    s = _ensure_table(
+        spark, LakeTable, ConcurrentCommitError, silver,
+        tf(b.read(include_deleted=True)).schema, order_by,
+    )
     while True:
         r = sync_incremental(b, s, transform=tf)
-        ticks.append(r)
+        ticks.append({"hop": "silver", **r})
+        rebootstraps += bool(r.get("bootstrap"))
+        if r["noop"]:
+            break
+    g = _ensure_table(
+        spark, LakeTable, ConcurrentCommitError, gold,
+        tf2(s.read(include_deleted=True)).schema, order_by,
+    )
+    while True:
+        r = sync_incremental(s, g, transform=tf2, dead_letter=dlq)
+        ticks.append({"hop": "gold", **r})
         rebootstraps += bool(r.get("bootstrap"))
         if r["noop"]:
             break
 
+    # from-scratch chain: bronze → scratch-silver → scratch-gold
     scratch_root = "/dev/shm/chained-soak-scratch"
+    scratch_gold_root = "/dev/shm/chained-soak-scratch-gold"
     shutil.rmtree(scratch_root, ignore_errors=True)
+    shutil.rmtree(scratch_gold_root, ignore_errors=True)
     scratch = LakeTable.create(
         spark, scratch_root, s.schema(), key_col=KEY, num_buckets=4,
-        order_by=tuple(b.snapshot()["order_by"]),
-        merge_mode="mor", delta_layout="unbucketed",
+        order_by=order_by, merge_mode="mor", delta_layout="unbucketed",
     )
     sync_incremental(b, scratch, transform=tf)
+    scratch_gold = LakeTable.create(
+        spark, scratch_gold_root, g.schema(), key_col=KEY, num_buckets=4,
+        order_by=order_by, merge_mode="mor", delta_layout="unbucketed",
+    )
+    sync_incremental(scratch, scratch_gold, transform=tf2)
+
+    def _diff(x, y):
+        cols = sorted(set(x.columns) & set(y.columns))
+        return (
+            x.select(cols).exceptAll(y.select(cols)).count()
+            + y.select(cols).exceptAll(x.select(cols)).count()
+        )
 
     sv, sc_ = s.read(), scratch.read()
-    cols = sorted(set(sv.columns) & set(sc_.columns))
-    diff = (
-        sv.select(cols).exceptAll(sc_.select(cols)).count()
-        + sc_.select(cols).exceptAll(sv.select(cols)).count()
-    )
+    gv, gc_ = g.read(), scratch_gold.read()
+    diff_silver, diff_gold = _diff(sv, sc_), _diff(gv, gc_)
     rows_silver, rows_scratch = sv.count(), sc_.count()
+    rows_gold, rows_scratch_gold = gv.count(), gc_.count()
+
+    # transform-failure DLQ: every FINAL-state failed key's row must be
+    # in the spool (no loss across kills); earlier failed versions of the
+    # same keys + redone ticks add at-least-once duplicates (quantified)
+    expected_dead = tf2(scratch.read()).filter(F.col(KEY).isNull())
+    expected_lsns = {r["__lsn"] for r in expected_dead.select("__lsn").collect()}
+    dead = spark.read.parquet(dlq) if os.path.isdir(dlq) else None
+    spooled_rows = dead.count() if dead is not None else 0
+    spooled_lsns = (
+        {r["__lsn"] for r in dead.select("__lsn").collect()} if dead is not None else set()
+    )
+    dlq_no_loss = expected_lsns <= spooled_lsns
     spark.stop()
 
     out = {
@@ -206,22 +290,31 @@ def main() -> None:
         "elapsed_s": round(time.monotonic() - t0, 1),
         "kills": kills,
         "ticks_survived": len(ticks),
+        "gold_ticks": sum(1 for t in ticks if t.get("hop") == "gold"),
         "rebootstraps": rebootstraps,
         "upstream_compactions": compactions,
         "rows_silver": rows_silver,
         "rows_scratch": rows_scratch,
-        "value_diff_rows": diff,
-        "exact_match": diff == 0 and rows_silver == rows_scratch,
+        "rows_gold": rows_gold,
+        "rows_scratch_gold": rows_scratch_gold,
+        "value_diff_rows_silver": diff_silver,
+        "value_diff_rows_gold": diff_gold,
+        "exact_match": diff_silver == 0 and rows_silver == rows_scratch,
+        "exact_match_gold": diff_gold == 0 and rows_gold == rows_scratch_gold,
+        "dead_expected_final_state": len(expected_lsns),
+        "dead_spooled_distinct": len(spooled_lsns),
+        "dead_spooled_rows": spooled_rows,
+        "dlq_no_loss": dlq_no_loss,
     }
-    for dpath in (bronze, silver, scratch_root):
+    for dpath in (bronze, silver, gold, dlq, scratch_root, scratch_gold_root):
         shutil.rmtree(dpath, ignore_errors=True)
     print(json.dumps(out))
-    if not out["exact_match"] or kills == 0:
+    if not (out["exact_match"] and out["exact_match_gold"] and dlq_no_loss) or kills == 0:
         sys.exit(1)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "daemon":
-        daemon(sys.argv[2], sys.argv[3])
+        daemon(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
     else:
         main()

@@ -1,0 +1,263 @@
+"""10^6-document fuzzy-dedup / span-stats scale soak (r5 verdict next
+#6): the LLM-operator family's capped-join claims, MEASURED at depth
+instead of plan-shape-argued. The sf0.1 driver corpus is 5k docs; this
+tool synthesizes a deterministic 10^6-doc web-ish corpus (~95M tokens)
+with KNOWN ground truth and runs shared_span_stats,
+remove_shared_spans, and the full minhash→LSH→verify→connected-
+components chain end-to-end on local[N], recording wall times, the
+candidate-pair count against the n²/2 bound, per-stage task-duration
+quantiles from the Spark REST API (the straggler/skew evidence), and
+recall against the constructed duplicate-pair set.
+
+Corpus construction (pure codegen, no Python UDFs, seed-free
+deterministic):
+  * 20% of docs form near-dup pairs (2i, 2i+1): same base token stream
+    (60-120 tokens from a 50k vocab), the odd member mutates every 53rd
+    position (1-3 tokens) → pair Jaccard(5-shingles) ≈ 0.75-0.88, all
+    above the 0.7 run threshold;
+  * 40% of docs (keyed on the pair base, so pair members agree) append
+    one of three shared 12-token boilerplate footers — the C4 shared-
+    span signal AND the LSH hot-bucket adversary the max_bucket_df cap
+    exists for.
+
+Asserted (exit 1 otherwise): minhash recall over the constructed pairs
+>= 0.95 (theory ~0.998 at 64 hashes / 16 bands); candidate pairs under
+50x n_docs (vs the n²/2 = 5*10^11 bound); every boilerplate footer
+token removed from every cleaned text; CC labels every found-pair
+member.
+
+Usage: python tools/llm_scale_soak.py [n_docs=1000000] [cores=32]
+Prints one JSON line; quote the numbers in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = 50_000
+
+
+def _task_quantiles(ui: str, app: str, stage_id: int) -> dict | None:
+    url = (
+        f"{ui}/api/v1/applications/{app}/stages/{stage_id}/0/taskSummary"
+        "?quantiles=0.5,0.95,1.0"
+    )
+    try:
+        with urllib.request.urlopen(url) as r:
+            return json.load(r)
+    except Exception:
+        return None
+
+
+def _heaviest_stage_skew(ui: str, app: str, since_stage: int) -> dict:
+    """med/p95/max task-duration of the heaviest completed stage since
+    `since_stage` — the straggler evidence for the op that just ran."""
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            stages = [s for s in json.load(r) if s["stageId"] > since_stage]
+    except Exception:
+        return {}
+    if not stages:
+        return {}
+    heaviest = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    q = _task_quantiles(ui, app, heaviest["stageId"])
+    if not q or not q.get("duration"):
+        return {}
+    med, p95, mx = q["duration"]
+    return {
+        "stage_id": heaviest["stageId"],
+        "tasks": heaviest.get("numCompleteTasks"),
+        "task_ms_med": round(med, 1),
+        "task_ms_p95": round(p95, 1),
+        "task_ms_max": round(mx, 1),
+        "max_over_med": round(mx / max(med, 1e-9), 2),
+    }
+
+
+def _max_stage(ui: str, app: str) -> int:
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages"
+        ) as r:
+            ids = [s["stageId"] for s in json.load(r)]
+        return max(ids) if ids else -1
+    except Exception:
+        return -1
+
+
+def build_corpus(spark, n_docs: int, path: str):
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(path):
+        return
+    n_dup = (n_docs // 5) & ~1  # even count: ids < n_dup pair up as (2i, 2i+1)
+    did = F.col("id")
+    base = F.when(did < n_dup, did - did % 2).otherwise(did)
+    n_toks = (F.pmod(F.xxhash64(base + 7), F.lit(61)) + F.lit(60)).cast("int")
+    is_mut = (did % 2 == 1) & (did < n_dup)
+    toks = F.transform(
+        F.sequence(F.lit(0), n_toks - 1),
+        lambda j: F.when(
+            is_mut & (j % 53 == 7),
+            F.concat(F.lit("m"), F.pmod(F.xxhash64(did, j), F.lit(VOCAB)).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.xxhash64(base, j), F.lit(VOCAB)).cast("string"))
+        ),
+    )
+    footer = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda j: F.concat(
+            F.lit("f"), F.pmod(base, F.lit(3)).cast("string"), F.lit("_"), j.cast("string")
+        ),
+    )
+    arr = F.when(F.pmod(base, F.lit(5)) < 2, F.concat(toks, footer)).otherwise(toks)
+    (
+        spark.range(n_docs)
+        .repartition(256)
+        .select(did.alias("doc_id"), F.concat_ws(" ", arr).alias("text"))
+        .write.parquet(path)
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_batch_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_span_stats,
+    )
+    from debezium_server_batch_spark.operators.dedup_fuzzy import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_near_dupes,
+        minhash_signature,
+    )
+    from debezium_server_batch_spark.session import build_session
+
+    spark = build_session(
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 4,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    sc = spark.sparkContext
+    ui, app = sc.uiWebUrl, sc.applicationId
+    n_dup = (n_docs // 5) & ~1
+    expected_pairs = n_dup // 2
+
+    corpus_path = f"/tmp/llm-scale-corpus-{n_docs}"
+    t0 = time.monotonic()
+    build_corpus(spark, n_docs, corpus_path)
+    gen_s = time.monotonic() - t0
+    docs = spark.read.parquet(corpus_path)
+
+    out: dict = {"n_docs": n_docs, "cores": cores, "gen_s": round(gen_s, 1)}
+
+    # ---- C4 shared-span statistics -----------------------------------
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    stats = shared_span_stats(docs, k=8, min_docs=2)
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg("shared_span_ratio").alias("avg_ratio"),
+        F.sum((F.col("n_shared_spans") > 0).cast("long")).alias("docs_with_shared"),
+    ).collect()[0]
+    out["shared_span_stats"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "rows": agg["rows"],
+        "docs_with_shared_spans": agg["docs_with_shared"],
+        "avg_shared_ratio": round(agg["avg_ratio"], 4),
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+
+    # ---- C4 span removal ---------------------------------------------
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    cleaned = remove_shared_spans(docs, k=8, min_docs=2)
+    leak = cleaned.filter(F.col("clean_text").rlike("f[0-2]_")).count()
+    out["remove_shared_spans"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "boilerplate_token_leaks": leak,
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+
+    # ---- LSH candidate generation (the capped quadratic term) --------
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=64, shingle_k=5)
+    n_cands = lsh_candidate_pairs(sig, bands=16, max_bucket_df=1000).count()
+    out["lsh_candidates"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "candidate_pairs": n_cands,
+        "n_squared_over_2": n_docs * (n_docs - 1) // 2,
+        "candidates_per_doc": round(n_cands / n_docs, 2),
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+
+    # ---- full minhash near-dup (candidates + exact verify) -----------
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    pairs = minhash_near_dupes(
+        docs, num_hashes=64, bands=16, shingle_k=5, threshold=0.7, max_bucket_df=1000
+    ).persist()
+    n_found = pairs.count()
+    found_expected = pairs.filter(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") < n_dup)
+    ).count()
+    out["minhash_neardup"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "pairs_found": n_found,
+        "expected_pairs": expected_pairs,
+        "expected_found": found_expected,
+        "recall": round(found_expected / max(expected_pairs, 1), 4),
+        "extra_pairs": n_found - found_expected,
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+
+    # ---- connected components over the found pairs -------------------
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    cc = connected_components(pairs.select("id_a", "id_b")).persist()
+    n_labeled = cc.count()
+    n_components = cc.select("component").distinct().count()
+    member_ids = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    unlabeled = member_ids.join(cc, "id", "left_anti").count()
+    out["connected_components"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "labeled_ids": n_labeled,
+        "components": n_components,
+        "pair_members_unlabeled": unlabeled,
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+    pairs.unpersist()
+    cc.unpersist()
+    spark.stop()
+
+    recall = out["minhash_neardup"]["recall"]
+    ok = (
+        recall >= 0.95
+        and leak == 0
+        and n_cands < 50 * n_docs
+        and unlabeled == 0
+    )
+    out["pass"] = ok
+    print(json.dumps(out))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

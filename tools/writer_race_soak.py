@@ -18,10 +18,19 @@ Pass criteria (all asserted, exit 1 on any failure):
     onto the OTHER writer's snapshot) are observed — the additive
     rebase path, exercised for real across processes.
 
-Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky]
+Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky] [dlq]
 (storage=flaky layers ~5%-per-op injected transient faults + stale
 listings under SDK-style retries on top of the writer race — the
 double-adversarial configuration)
+
+`dlq` mode (r5 verdict next #3): a deterministic slice of the log
+(offset % 97 == 13) is corrupted — truncated JSON / url=null — with
+malformed events in BOTH writers' slices, and both writers share ONE
+--dead-letter root. The per-writer writer=<id>/ spool dirs mean their
+concurrent captures never share a parquet _temporary staging dir;
+asserted: spools readable (no corruption), union == the injected
+malformed set, each offset spooled by the writer owning its slice.
+
 Prints one JSON line with the soak metrics.
 """
 
@@ -49,18 +58,43 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     storage_name = sys.argv[3] if len(sys.argv) > 3 else "condput"
+    dlq_mode = len(sys.argv) > 4 and sys.argv[4] == "dlq"
 
     log = f"/tmp/writer-race-log-{n_pages}"
     serial_table = "/dev/shm/writer-race-serial"
     raced_table = "/dev/shm/writer-race-raced"
+    dlq_root = "/dev/shm/writer-race-dlq"
     shutil.rmtree(serial_table, ignore_errors=True)
     shutil.rmtree(raced_table, ignore_errors=True)
+    shutil.rmtree(dlq_root, ignore_errors=True)
 
     if not os.path.isdir(log):
         r = _run(["--master", f"local[{cores}]", "generate", "--out", log,
                   "--pages", str(n_pages), "--hot-pages", str(max(n_pages // 500, 2)),
                   "--hot-k", "32"])
         assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    if dlq_mode:
+        # corrupt offset % 97 == 13: truncated JSON (whole-group
+        # quarantine) alternating with valid-schema url=null (observe
+        # guard) — malformed events land in BOTH writers' slices
+        corrupt = f"{log}-corrupt"
+        if not os.path.isdir(corrupt):
+            import duckdb
+
+            os.makedirs(corrupt)
+            duckdb.connect().execute(f"""
+                COPY (SELECT "offset", destination, "key",
+                             CASE WHEN "offset" % 97 = 13 THEN
+                                  CASE WHEN ("offset" // 97) % 2 = 0
+                                       THEN '{{"schema": {{"type": "struct", "fi'
+                                       ELSE regexp_replace(value, '"url":\\s*"[^"]*"', '"url": null')
+                                  END
+                             ELSE value END AS value
+                      FROM read_parquet('{log}/*.parquet'))
+                TO '{corrupt}/part-0.parquet' (FORMAT PARQUET)
+            """)
+        log = corrupt
 
     # ---- leg 1: serial single-writer reference replay -----------------
     t0 = time.monotonic()
@@ -85,12 +119,13 @@ def main() -> None:
     mid = src.window_bounds(-1, max(n_events // 2, 1))[0]
 
     def writer(wid: str, extra: list[str]) -> subprocess.Popen:
+        dlq_args = ["--dead-letter", dlq_root] if dlq_mode else []
         return subprocess.Popen(
             [sys.executable, os.path.join(REPO, "run_pipeline.py"),
              "--master", f"local[{cores}]", "replay", "--log", log,
              "--table", raced_table, "--storage", storage_name,
              "--batch-events", "2000", "--buckets", "16",
-             "--writer-id", wid, *extra],
+             "--writer-id", wid, *dlq_args, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
         )
 
@@ -189,6 +224,31 @@ def main() -> None:
     )
     rebased_commits = sum(1 for _w, _op, r in by_version if r is not None)
     compact_commits = sum(1 for _w, op, _r in by_version if op == "compact-deltas")
+
+    dlq_stats = {}
+    if dlq_mode:
+        import duckdb
+
+        from debezium_server_batch_spark.streaming.runner import read_dead_letters
+
+        dead = read_dead_letters(spark, dlq_root)
+        n_rows = dead.count()  # readable end-to-end == no spool corruption
+        pairs = {(r["offset"], r["writer"]) for r in dead.select("offset", "writer").collect()}
+        offsets = {o for o, _w in pairs}
+        expected = {
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT \"offset\" FROM read_parquet('{log}/*.parquet') WHERE \"offset\" % 97 = 13")
+            .fetchall()
+        }
+        dlq_stats = {
+            "dead_expected": len(expected),
+            "dead_distinct": len(offsets),
+            "dead_dup_rows": n_rows - len(offsets),
+            # every malformed offset spooled by the writer owning its slice
+            "dead_slices_correct": all((o <= mid) == (w == "wA") for o, w in pairs),
+            "dlq_no_loss": offsets == expected,
+        }
     spark.stop()
 
     out = {
@@ -212,12 +272,17 @@ def main() -> None:
         "cross_writer_parents": cross_parent,
         "rebased_commits": rebased_commits,
         "compact_commits": compact_commits,
+        **dlq_stats,
     }
     shutil.rmtree(serial_table, ignore_errors=True)
     shutil.rmtree(raced_table, ignore_errors=True)
+    shutil.rmtree(dlq_root, ignore_errors=True)
     print(json.dumps(out))
-    if not (out["exact_match"] and out["checkpoints_complete"] and not compactor_errors
-            and interleavings > 0):
+    ok = (out["exact_match"] and out["checkpoints_complete"] and not compactor_errors
+          and interleavings > 0)
+    if dlq_mode:
+        ok = ok and dlq_stats["dlq_no_loss"] and dlq_stats["dead_slices_correct"]
+    if not ok:
         sys.exit(1)
 
 
