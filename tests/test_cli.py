@@ -17,14 +17,13 @@ def _last_json(capsys) -> dict:
 
 
 @pytest.fixture()
-def tiny_log(spark, tmp_path_factory, request):
+def tiny_log(spark, tmp_path_factory):
     log = str(tmp_path_factory.mktemp("clilog") / "log")
     rc = main([
         "generate", "--out", log, "--pages", "60", "--hot-pages", "2",
         "--hot-k", "4", "--files", "4",
     ])
     assert rc == 0
-    request.node.stash  # keep fixture shape simple; capsys drained by caller
     return log
 
 
