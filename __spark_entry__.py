@@ -109,6 +109,37 @@ def q_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_shared_spans(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible engine-portable corpus rebalancing: downsample the
+    # dominant language (en 10%), keep de at 50%, everything else 30% —
+    # md5-prefix hash sampling, identical row set on any engine/run
+    from debezium_server_batch_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        stratum_col="lang",
+        rates={"en": 0.1, "de": 0.5},
+        default_rate=0.3,
+    )
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy sequence packing for pretraining batches: per-language
+    # streams, 512-token budget, deterministic pack assignment
+    from debezium_server_batch_spark.functions.text import token_count
+    from debezium_server_batch_spark.operators.sampling import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(
+        with_tokens, id_col="doc_id", token_col="n_tokens", budget=512, stratum_col="lang"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -500,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "shared_span_stats": q_shared_span_stats,
         "remove_shared_spans": q_remove_shared_spans,
+        "stratified_sample": q_stratified_sample,
+        "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -668,6 +701,31 @@ def oracle_sql() -> dict[str, str]:
                                ' '), '')
                    END AS clean_text
             FROM toks tk LEFT JOIN covered c USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '19999999'
+                            WHEN 'de' THEN '80000000'
+                            ELSE '4ccccccc' END
+        """,
+        "doc_packing": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                          - n_tokens AS BIGINT) AS start
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(start / 512) AS BIGINT) AS pack_id,
+                   start % 512 AS pack_offset
+            FROM c
         """,
         "token_stats": """
             SELECT doc_id,

@@ -1,0 +1,103 @@
+"""Deterministic corpus sampling + sequence packing — the two steps a
+training-data pipeline runs right after filtering/dedup: draw a
+reproducible (possibly stratum-weighted) subset, then pack documents
+into fixed token budgets for pretraining batches.
+
+Both are pure codegen (no Python, no RNG): reproducibility at 100 TB
+means the SAME rows survive on every run, every cluster size, every
+partitioning — Spark's df.sample() guarantees none of that (it is
+seed + partition-layout dependent). The hash here is the first 8 hex
+chars of md5 over the key, compared lexicographically against a hex
+threshold — portable bit-for-bit to any engine with md5 (the DuckDB
+oracles reproduce it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 16**8  # first 8 hex chars of md5 → uniform over [0, 16^8)
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[md5-prefix < t] == round(fraction *
+    16^8) / 16^8 — the exact, engine-portable sampling probability."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * HASH_SPACE), HASH_SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | None = None,
+    stratum_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic sample: keep a row iff the first 8 hex chars of
+    md5(key) sort below the stratum's threshold.
+
+    * `fraction`: one global rate; OR
+    * `stratum_col` + `rates`: per-stratum rates (corpus rebalancing —
+      e.g. downsample the dominant language, keep the tail), rows in
+      strata absent from `rates` kept at `default_rate`.
+
+    Properties a pipeline actually needs: (1) reproducible across runs,
+    partitionings and engines; (2) NESTED — the 5% sample is a strict
+    subset of the 10% sample (thresholds are prefixes of one uniform
+    draw), so sweeps reuse a single materialization; (3) map-only: a
+    codegen filter, no shuffle, pushed to the scan.
+
+    100-TB shape: a filter on a scan — embarrassingly parallel; the
+    md5 is per-row JVM-side (commons-codec), no Python."""
+    if (fraction is None) == (rates is None):
+        raise ValueError("pass exactly one of fraction= or rates= (+ stratum_col)")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    if fraction is not None:
+        return df.filter(h < F.lit(hash_threshold(fraction)))
+    if stratum_col is None:
+        raise ValueError("rates= requires stratum_col=")
+    thr = F.lit(hash_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(hash_threshold(rate))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: order documents by id (within
+    `stratum_col` if given), run a cumulative token count, and assign
+    each document to pack ``(cumsum - its tokens) // budget`` — the pack
+    its START offset falls in. Deterministic, single-pass, and exactly
+    what a pretraining loader needs to group documents into ~budget-
+    token training sequences. A document straddling a boundary stays in
+    its start pack, so packs can overflow by at most one document
+    (standard streaming packing; oversized single documents get a pack
+    of their own).
+
+    Returns (id_col[, stratum_col], n_tokens, pack_id, pack_offset) —
+    pack_offset = the doc's starting token offset within its pack.
+
+    100-TB shape: the running sum is a window scan — sequential WITHIN a
+    stratum, parallel ACROSS strata. Partition the corpus into enough
+    strata (language x source, or hash buckets of the id) that each
+    stratum fits a task; a single global stream would serialize, which
+    is why stratum_col defaults to required-in-practice."""
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col(id_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    cols = [F.col(id_col)] + ([F.col(stratum_col)] if stratum_col else [])
+    return df.select(
+        *cols,
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("pack_offset"),
+    )

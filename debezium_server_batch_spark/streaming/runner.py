@@ -221,6 +221,11 @@ class CdcPipeline:
             if config.dead_letter and config.writer_id
             else config.dead_letter
         )
+        # roots confirmed to carry a checkpoint slot for this writer: a
+        # slot, once committed, carries forward through every later
+        # snapshot (_ckpt_fields), so membership never invalidates —
+        # steady-state windows skip the barrier check's header read
+        self._slotted_roots: set[str] = set()
         self._union_struct = None
         self.file_sink = None
         if config.sink == "files":
@@ -705,13 +710,17 @@ class CdcPipeline:
         # only commit per touched root.
         ckpt_barrier = False
         for root in set(roots):
-            if not LakeTable.exists(root, storage=self.storage):
+            if root in self._slotted_roots:
+                continue
+            if LakeTable.exists(root, storage=self.storage) and (
+                LakeTable.load(self.spark, root, storage=self.storage).checkpoint(
+                    self.cfg.writer_id
+                )
+                is not None
+            ):
+                self._slotted_roots.add(root)
+            else:
                 ckpt_barrier = True
-                break
-            t = LakeTable.load(self.spark, root, storage=self.storage)
-            if t.checkpoint(self.cfg.writer_id) is None:
-                ckpt_barrier = True
-                break
 
         def merge_group(gi: int, g) -> dict:
             df = normalize_batch(
@@ -856,6 +865,7 @@ class CdcPipeline:
                     LakeTable.load(self.spark, root, storage=self.storage).commit_checkpoint(
                         checkpoint
                     )
+                    self._slotted_roots.add(root)
 
         # destinations with no events this window (or empty window):
         # advance their checkpoint with a metadata-only commit so the

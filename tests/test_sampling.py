@@ -1,0 +1,88 @@
+"""Deterministic hash sampling + greedy sequence packing
+(operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.operators.sampling import (
+    hash_sample,
+    hash_threshold,
+    pack_documents,
+)
+
+
+def test_hash_threshold_exact():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(0.5) == "80000000"
+    assert hash_threshold(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """Same rows on every run and partitioning; the 5% sample is a
+    strict subset of the 20% sample (one uniform draw, nested
+    thresholds) — the property df.sample() does NOT have."""
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    s20 = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction=0.2).collect()}
+    s20_re = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), "doc_id", fraction=0.2).collect()
+    }
+    s5 = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction=0.05).collect()}
+    assert s20 == s20_re  # partitioning-invariant
+    assert s5 <= s20  # nested
+    # rate sanity: binomial(4000, p) stays well inside these bands
+    assert 0.12 * 4000 < len(s20) < 0.28 * 4000
+    assert len(hash_sample(df, "doc_id", fraction=0.0).collect()) == 0
+
+
+def test_hash_sample_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], "doc_id long, lang string"
+    )
+    out = hash_sample(
+        df, "doc_id", stratum_col="lang", rates={"en": 0.0, "de": 1.0}, default_rate=0.3
+    )
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    assert all(lang == "de" for _id, lang in got)  # en rate 0 drops all
+    assert len(got) == 1000  # de rate 1 keeps all
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id")  # neither fraction nor rates
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", fraction=0.1, stratum_col="lang", rates={"en": 0.1})
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", rates={"en": 0.1})  # rates without stratum
+
+
+def test_pack_documents_semantics(spark):
+    """Greedy contiguous packing: packs fill to the budget, a document
+    straddling the boundary stays in its start pack (overflow by at
+    most one doc), oversized documents get their own pack, strata pack
+    independently."""
+    rows = [
+        # lang a: tokens 300, 300, 300 with budget 512:
+        #   d0 start 0 → pack 0; d1 start 300 → pack 0 (straddles);
+        #   d2 start 600 → pack 1
+        (0, "a", 300), (1, "a", 300), (2, "a", 300),
+        # lang b: an oversized 1300-token doc then a 100-token doc:
+        #   d10 start 0 → pack 0; d11 start 1300 → pack 2
+        (10, "b", 1300), (11, "b", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents(df, budget=512, stratum_col="lang").collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[1] == (0, 300)
+    assert out[2] == (1, 600 - 512)
+    assert out[10] == (0, 0)
+    assert out[11] == (2, 1300 - 2 * 512)
+
+    # deterministic under repartitioning
+    out2 = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents(df.repartition(7), budget=512, stratum_col="lang").collect()
+    }
+    assert out == out2

@@ -199,15 +199,32 @@ def main() -> None:
             if c.returncode == 0:
                 compactions += 1
     assert writer.returncode == 0, writer.communicate()[1].decode()[-2000:]
-    if d is not None:
-        d.send_signal(signal.SIGKILL)
-        kills += 1
-        out, _ = d.communicate()
+
+    def harvest(proc):
+        out, _ = proc.communicate()
+        n_boot = 0
         for ln in out.decode().splitlines():
             if ln.startswith("{"):
                 t = json.loads(ln)
                 ticks.append(t)
-                rebootstraps += bool(t.get("bootstrap"))
+                n_boot += bool(t.get("bootstrap"))
+        return n_boot
+
+    if d is not None:
+        d.send_signal(signal.SIGKILL)
+        kills += 1
+        rebootstraps += harvest(d)
+
+    # post-writer kill cycles: the follower is still catching up on the
+    # final bronze state — keep killing mid-drain so deaths land on the
+    # gold hop and the last silver deltas too
+    for _ in range(3):
+        d = spawn_daemon()
+        time.sleep(6.0)
+        if d.poll() is None:
+            d.send_signal(signal.SIGKILL)
+            kills += 1
+        rebootstraps += harvest(d)
 
     # final clean drain + from-scratch verification, in-process
     from pyspark.sql import functions as F
