@@ -109,6 +109,17 @@ def q_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_shared_spans(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-3/PaLM-style benchmark decontamination: flag corpus docs
+    # sharing any 13-gram with the "benchmark" slice (deterministic
+    # doc_id % 23 == 3 subset stands in for an eval set)
+    from debezium_server_batch_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 3)
+    return decontaminate(docs, bench, n=13, min_hits=1)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproducible engine-portable corpus rebalancing: downsample the
     # dominant language (en 10%), keep de at 50%, everything else 30% —
@@ -531,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "shared_span_stats": q_shared_span_stats,
         "remove_shared_spans": q_remove_shared_spans,
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
@@ -701,6 +713,29 @@ def oracle_sql() -> dict[str, str]:
                                ' '), '')
                    END AS clean_text
             FROM toks tk LEFT JOIN covered c USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     md5(unnest(CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                                ELSE list_transform(range(1, len(t) - 11),
+                                     i -> array_to_string(t[i:i+12], ' ')) END)) AS h
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT h FROM grams WHERE doc_id % 23 = 3
+            ), hits AS (
+              SELECT doc_id, count(*) AS contaminated_grams
+              FROM grams WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            )
+            SELECT t.doc_id AS doc_id, t.n_grams,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) >= 1 AS contaminated
+            FROM totals t LEFT JOIN hits h USING (doc_id)
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents

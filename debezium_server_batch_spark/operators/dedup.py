@@ -271,3 +271,56 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_by: str | Non
         .agg(F.min(payload).alias("_m"))
         .select(*[F.col(f"_m._row.{c}").alias(c) for c in df.columns])
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — flag every corpus document sharing at
+    least `min_hits` distinct n-gram(s) with ANY benchmark document (the
+    GPT-3/PaLM 13-gram rule: training data containing eval n-grams
+    inflates benchmark scores; n=13 is the published default).
+
+    Returns (id_col, n_grams, contaminated_grams, contaminated) — one
+    row per CORPUS doc; callers drop `contaminated` rows or audit the
+    gram counts. Matching is on lowercased whitespace n-grams via the
+    same portable md5 used across this module (oracle reproduces it
+    bit-for-bit). Documents shorter than n tokens match on their whole
+    text (same short-doc rule as `shingles`).
+
+    Scale shape (100 TB corpus, MB-GB benchmark): the benchmark side is
+    tiny and aggregates to DISTINCT gram hashes — Spark broadcasts it
+    (the common case) so the corpus side is a map-only explode + hash
+    semi-probe with partial-agg counting; no corpus shuffle beyond the
+    per-doc count. A corpus gram appearing in many docs costs O(its
+    instances) — no quadratic term anywhere."""
+    from ..functions.text import shingles
+
+    def grams(df: DataFrame, keep_id: bool):
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(
+            *cols, F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_g")
+        ).select(*cols, F.md5(F.lower(F.col("_g"))).alias("_h"))
+
+    bench = grams(benchmark, keep_id=False).distinct()
+    cg = grams(corpus, keep_id=True)
+    hits = (
+        cg.join(bench.hint("broadcast"), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
+            (F.coalesce("contaminated_grams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

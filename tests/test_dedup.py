@@ -152,3 +152,43 @@ def test_remove_shared_spans_semantics(spark):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_decontaminate_semantics(spark):
+    """Benchmark decontamination: a corpus doc containing any benchmark
+    n-gram is flagged with the hit count; clean docs pass with 0; the
+    short-doc whole-text rule applies; matching is case-insensitive;
+    the benchmark side broadcasts (no corpus-wide shuffle join)."""
+    from debezium_server_batch_spark.operators.dedup import decontaminate
+
+    eval_q = "what is the capital of france and when was it founded exactly"  # 12 tokens
+    corpus = spark.createDataFrame(
+        [
+            # c1 contains the benchmark's 12 leading tokens but never its
+            # full 13-gram (b1's gram ends in "yes") → clean under n=13
+            ("c1", "intro words here " + eval_q + " trailing tokens"),
+            ("c2", "a completely clean document with enough tokens to be long and varied"),
+            ("c3", "WHAT IS THE CAPITAL OF FRANCE AND WHEN WAS IT FOUNDED EXACTLY YES"),
+            ("c4", "tiny doc"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", eval_q + " yes"), ("b2", "tiny doc")], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: (r["contaminated"], r["contaminated_grams"], r["n_grams"])
+           for r in decontaminate(corpus, bench, n=13, min_hits=1).collect()}
+    # b1 has 13 tokens -> one 13-gram "what ... exactly yes"; c3 contains
+    # it (case-insensitively); c1 contains "...exactly" but NOT the
+    # trailing "yes" 13-gram -> clean under n=13
+    assert out["c3"][0] is True and out["c3"][1] >= 1
+    assert out["c1"][0] is False
+    assert out["c2"] == (False, 0, out["c2"][2])
+    # short-doc whole-text rule: c4 == benchmark doc b2
+    assert out["c4"] == (True, 1, 1)
+    assert set(out) == {"c1", "c2", "c3", "c4"}  # one row per corpus doc
+
+    q = decontaminate(corpus, bench, n=13)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcast, corpus map-only probe
