@@ -145,6 +145,7 @@ def follow(
     max_ticks: int | None = None,
     transform=None,
     idle_sleep_s: float = 5.0,
+    dead_letter: str | None = None,
 ) -> list[dict]:
     """Continuous tail-follow of `src` into `dst`: one sync_incremental
     per tick, paced between ticks by a BatchSizeWait strategy — the
@@ -165,7 +166,7 @@ def follow(
     tick = 0
     while True:
         t0 = time.monotonic()
-        r = sync_incremental(src, dst, transform=transform)
+        r = sync_incremental(src, dst, transform=transform, dead_letter=dead_letter)
         stats.append(r)
         tick += 1
         if max_ticks is not None and tick >= max_ticks:
