@@ -119,32 +119,53 @@ def shared_span_stats(
     span, matching functions.text.shingles).
 
     Scale shape (100 TB): explode is O(tokens) map-side; document
-    frequency is distinct + count with partial aggregation; the join
-    back is a hash join on a 32-byte md5 (portable across engines — the
-    oracle recomputes it bit-for-bit). A span repeated only WITHIN one
-    document does not count as shared (frequency is per distinct doc)."""
+    frequency is distinct + count with partial aggregation; only the
+    SHARED span set (docfreq >= min_docs — boilerplate is a small
+    fraction of distinct spans) flows into the join, as a left-semi
+    probe; the per-doc totals come from a plain aggregation with no
+    join at all. All hashing is a 32-byte md5 (portable across
+    engines — the oracle recomputes it bit-for-bit). A span repeated
+    only WITHIN one document does not count as shared (frequency is
+    per distinct doc)."""
     from ..functions.text import shingles
 
-    inst = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
-    ).select(F.col(id_col), F.md5("_sh").alias("_h"))
+    # explicit not-null filters match what the semi-join (on _h) and the
+    # final left join (on id) push into THEIR branches — without them
+    # the three consumers' subplans differ by exactly those filters and
+    # the exchange cannot be shared (cf. remove_shared_spans)
+    inst = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        .select(F.col(id_col), F.md5("_sh").alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
     # aggregate FIRST: (doc, span) instance counts collapse the exploded
-    # instances at the earliest shuffle (map-side combine), and both the
-    # doc-frequency branch and the join branch hang off this ONE
-    # aggregated plan — Spark's ReusedExchange evaluates the explode
-    # chain once, and the join shuffles per-doc-distinct spans instead
-    # of raw instances (the naive inst.join(docfreq) shape re-executed
-    # the whole explode per branch: 2× the scan and a 10M-row join side
-    # at sf0.1)
+    # instances at the earliest shuffle (map-side combine), and every
+    # downstream branch hangs off this ONE aggregated plan (Spark's
+    # ReusedExchange evaluates the explode chain once). The frequency
+    # aggregate counts via sum(_n_inst >= 1) — equal to count(*), but
+    # the _n_inst reference keeps this branch's subplan identical to
+    # the others so the exchange reuse survives column pruning (same
+    # trick as remove_shared_spans, documented there).
     per_doc = inst.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_n_inst"))
-    docfreq = per_doc.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    shared = (
+        per_doc.groupBy("_h")
+        .agg(F.sum((F.col("_n_inst") >= 1).cast("int")).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h", F.lit(1).alias("_s"))
+    )
+    # ONE broadcast left join flags each (doc, span) row as shared-or-
+    # not, and ONE per-doc aggregation computes both sums — a left-SEMI
+    # variant looked cleaner but Catalyst pushes semi-joins below the
+    # (doc,h) aggregation, re-executing the scan+explode for that
+    # branch; the outer join stays put, so the whole query runs one
+    # Generate and reuses one exchange
     return (
-        per_doc.join(docfreq, "_h")
+        per_doc.join(F.broadcast(shared), "_h", "left")
         .groupBy(id_col)
         .agg(
             F.sum("_n_inst").alias("n_spans"),
-            F.sum(F.when(F.col("_docs") >= min_docs, F.col("_n_inst")).otherwise(0)).alias(
+            F.sum(F.when(F.col("_s") == 1, F.col("_n_inst")).otherwise(0)).alias(
                 "n_shared_spans"
             ),
         )
@@ -230,8 +251,13 @@ def remove_shared_spans(
         .filter(F.col("_docs") >= min_docs)
         .select("_h")
     )
+    # INNER broadcast join, not left_semi: shared has unique _h so they
+    # are equivalent here, but Catalyst pushes semi-joins below the
+    # (doc,h) aggregation (PushDownLeftSemiAntiJoin), re-executing the
+    # scan+explode for this branch; the inner join stays above the agg,
+    # keeping the single-Generate / reused-exchange plan at every scale
     flagged = (
-        per_doc.join(shared, "_h", "left_semi")
+        per_doc.join(F.broadcast(shared), "_h")
         .groupBy(id_col)
         # one position starts exactly one span, so the flattened lists
         # are already distinct across hash groups
@@ -307,20 +333,18 @@ def decontaminate(
             *cols, F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_g")
         ).select(*cols, F.md5(F.lower(F.col("_g"))).alias("_h"))
 
-    bench = grams(benchmark, keep_id=False).distinct()
+    bench = grams(benchmark, keep_id=False).distinct().select("_h", F.lit(1).alias("_s"))
     cg = grams(corpus, keep_id=True)
-    hits = (
-        cg.join(bench.hint("broadcast"), "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
-    )
-    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # ONE broadcast left join flags each corpus gram, ONE aggregation
+    # counts totals and hits together — the corpus is scanned and
+    # exploded exactly once (a semi-join + separate totals agg read it
+    # twice)
     return (
-        totals.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_grams",
-            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
-            (F.coalesce("contaminated_grams", F.lit(0)) >= min_hits).alias("contaminated"),
+        cg.join(F.broadcast(bench), "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("contaminated_grams"),
         )
+        .withColumn("contaminated", F.col("contaminated_grams") >= min_hits)
     )
