@@ -192,6 +192,32 @@ def main() -> None:
         "skew": _heaviest_stage_skew(ui, app, s0),
     }
 
+    # ---- benchmark decontamination (broadcast gram probe) ------------
+    from debezium_server_batch_spark.operators.dedup import decontaminate
+
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    bench = docs.filter(F.col("doc_id") % 1000 == 7)  # ~0.1% as the eval set
+    dec = decontaminate(docs, bench, n=13, min_hits=1)
+    dagg = dec.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("contaminated").cast("long")).alias("flagged"),
+    ).collect()[0]
+    # ground truth (lower bound): every benchmark doc self-matches and
+    # its near-dup pair partner shares its body 13-grams. Beyond those,
+    # body+footer BOUNDARY grams (last body token + the 12-token
+    # footer) land in only ~150k distinct bins (50k vocab x 3 footers)
+    # across ~400k footered docs, so bench boundary grams legitimately
+    # hit unrelated docs too — observed ~1.7x |bench| total, exactly
+    # what a real decontaminator should flag
+    out["decontaminate"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "rows": dagg["rows"],
+        "bench_docs": bench.count(),
+        "flagged": dagg["flagged"],
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+
     # ---- LSH candidate generation (the capped quadratic term) --------
     s0 = _max_stage(ui, app)
     t0 = time.monotonic()
@@ -247,11 +273,13 @@ def main() -> None:
     spark.stop()
 
     recall = out["minhash_neardup"]["recall"]
+    dec_ok = out["decontaminate"]["flagged"] >= out["decontaminate"]["bench_docs"]
     ok = (
         recall >= 0.95
         and leak == 0
         and n_cands < 50 * n_docs
         and unlabeled == 0
+        and dec_ok
     )
     out["pass"] = ok
     print(json.dumps(out))
