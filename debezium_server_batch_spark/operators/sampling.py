@@ -21,11 +21,15 @@ HASH_SPACE = 16**8  # first 8 hex chars of md5 → uniform over [0, 16^8)
 
 
 def hash_threshold(fraction: float) -> str:
-    """Hex threshold t such that P[md5-prefix < t] == round(fraction *
-    16^8) / 16^8 — the exact, engine-portable sampling probability."""
+    """Hex threshold t such that P[md5-prefix < t] == trunc(fraction *
+    16^8) / 16^8 — the exact, engine-portable sampling probability.
+    fraction 1.0 returns "g" (sorts after every hex string), so a full
+    rate keeps ALL rows rather than all-but-the-top-hash."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * HASH_SPACE), HASH_SPACE - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * HASH_SPACE), "08x")
 
 
 def hash_sample(

@@ -14,9 +14,14 @@ from debezium_server_batch_spark.operators.sampling import (
 def test_hash_threshold_exact():
     assert hash_threshold(0.0) == "00000000"
     assert hash_threshold(0.5) == "80000000"
-    assert hash_threshold(1.0) == "ffffffff"
+    # full rate must keep even a row whose md5 prefix is "ffffffff":
+    # "g" sorts after every hex string, so `h < threshold` is always true
+    assert hash_threshold(1.0) == "g"
+    assert hash_threshold(1.0 - 2**-33) == "ffffffff"
     with pytest.raises(ValueError):
         hash_threshold(1.5)
+    with pytest.raises(ValueError):
+        hash_threshold(-0.1)
 
 
 def test_hash_sample_deterministic_and_nested(spark):
