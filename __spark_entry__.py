@@ -151,6 +151,36 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub: the synthetic corpus carries no PII, so seed one
+    # deterministic email/IP/SSN/phone per doc (the oracle seeds the
+    # same expression), then count-and-redact in a single codegen
+    # projection — counts from the raw text, clean_text after all four
+    # rules. Map-only; no shuffle.
+    from debezium_server_batch_spark.functions.pii import pii_count, redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 ssn 123-45-6789 tel 555-867-5309"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        pii_count("text", "email").alias("n_email"),
+        pii_count("text", "ipv4").alias("n_ipv4"),
+        pii_count("text", "ssn").alias("n_ssn"),
+        pii_count("text", "phone").alias("n_phone"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -544,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_shared_spans": q_remove_shared_spans,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "pii_redaction": q_pii_redaction,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -628,6 +659,34 @@ def _simhash_oracle_sql() -> str:
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)::BIGINT) <= 3
     """
+
+
+def _pii_redaction_oracle() -> str:
+    """Built from the SAME pattern table as redact_pii/pii_count so the
+    query and its oracle cannot drift; only the PII seeding expression
+    is duplicated (mirrors q_pii_redaction's F.concat)."""
+    from debezium_server_batch_spark.functions.pii import (
+        pii_count_oracle_sql,
+        pii_oracle_sql,
+    )
+
+    counts = ",\n                   ".join(
+        f"{pii_count_oracle_sql('text', k)} AS n_{alias}"
+        for k, alias in [("email", "email"), ("ipv4", "ipv4"), ("ssn", "ssn"), ("phone", "phone")]
+    )
+    return f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.1 ssn 123-45-6789 tel 555-867-5309' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {pii_oracle_sql('text')} AS clean_text,
+                   {counts}
+            FROM seeded
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -737,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.contaminated_grams, 0) >= 1 AS contaminated
             FROM totals t LEFT JOIN hits h USING (doc_id)
         """,
+        "pii_redaction": _pii_redaction_oracle(),
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
