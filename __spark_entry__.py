@@ -181,6 +181,37 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-key canonicalization: seed a deterministic messy URL per doc
+    # (case-variant host, default/alternating port, tracking params,
+    # fragment — the oracle seeds the same expression), then emit the
+    # canonical form + host. Map-only codegen projection.
+    from debezium_server_batch_spark.functions.url import canonicalize_url, url_host
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("HTTP://")),
+        F.lit("WWW.Site"),
+        (d % 40).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        F.when(d % 3 == 0, F.lit("")).otherwise(F.concat(F.lit("/Path/"), ds)),
+        F.lit("?utm_source=feed&id="),
+        ds,
+        F.when(d % 5 == 0, F.concat(F.lit("&fbclid=c"), ds)).otherwise(F.lit("")),
+        F.lit("&b=2#sec"),
+        ds,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", url.alias("url"))
+    return seeded.select(
+        "doc_id",
+        canonicalize_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -575,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
+        "url_canonicalize": q_url_canonicalize,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -689,6 +721,31 @@ def _pii_redaction_oracle() -> str:
         """
 
 
+def _url_canonicalize_oracle() -> str:
+    """CTE chain generated from functions/url.py's own regexes and
+    tracking-param table (no drift possible); only the messy-URL
+    seeding expression mirrors q_url_canonicalize's F.concat."""
+    from debezium_server_batch_spark.functions.url import url_oracle_ctes
+
+    return f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+                || 'WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN ''
+                         ELSE '/Path/' || CAST(doc_id AS VARCHAR) END)
+                || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id % 5 = 0
+                         THEN '&fbclid=c' || CAST(doc_id AS VARCHAR) ELSE '' END)
+                || '&b=2#sec' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            {url_oracle_ctes('url', 'seeded')}
+            SELECT doc_id, canon_url, host FROM urlc
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_upsert": """
@@ -797,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t LEFT JOIN hits h USING (doc_id)
         """,
         "pii_redaction": _pii_redaction_oracle(),
+        "url_canonicalize": _url_canonicalize_oracle(),
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
