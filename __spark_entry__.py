@@ -212,6 +212,30 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style paragraph dedup: seed a shared boilerplate paragraph
+    # into every doc (+ a footer into every 4th — the oracle seeds the
+    # same expression), then keep only the globally-first occurrence of
+    # each duplicated paragraph. Single occurrence-stream shuffle
+    # (ReusedExchange), first-wins by (doc_id, position).
+    from debezium_server_batch_spark.operators.dedup import dedup_paragraphs
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 120),
+            F.lit("\n\nSubscribe to our newsletter today\n\n"),
+            F.substring("text", 121, 1073741824),
+            F.when(
+                d % 4 == 0, F.lit("\n\nCopyright Example footer")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(seeded)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -607,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
         "url_canonicalize": q_url_canonicalize,
+        "paragraph_dedup": q_paragraph_dedup,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -855,6 +880,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redaction": _pii_redaction_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
+        "paragraph_dedup": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     substr(text, 1, 120) || e'\n\n'
+                     || 'Subscribe to our newsletter today' || e'\n\n'
+                     || substr(text, 121, 1073741824)
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN e'\n\n' || 'Copyright Example footer'
+                             ELSE '' END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text, string_split(text, e'\n\n') AS l FROM seeded
+            ), flat AS (
+              SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM base
+            ), occ AS (
+              SELECT doc_id, i - 1 AS pos, md5(lower(l[i])) AS h
+              FROM flat WHERE trim(l[i]) <> ''
+            ), ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM occ
+            ), drops AS (
+              SELECT doc_id, list(pos) AS dps FROM ranked WHERE rn > 1 GROUP BY doc_id
+            )
+            SELECT b.doc_id AS doc_id,
+                   CASE WHEN d.doc_id IS NULL THEN b.text
+                        -- coalesce: DuckDB array_to_string([]) is NULL,
+                        -- Spark concat_ws over an empty array is ''
+                        ELSE coalesce(array_to_string(
+                               list_filter(
+                                 list_transform(range(1, len(b.l) + 1),
+                                   i -> CASE WHEN list_contains(d.dps, i - 1)
+                                             THEN NULL ELSE b.l[i] END),
+                                 x -> x IS NOT NULL),
+                               e'\n\n'), '')
+                   END AS clean_text,
+                   CAST(coalesce(len(d.dps), 0) AS BIGINT) AS n_dropped
+            FROM base b LEFT JOIN drops d ON b.doc_id = d.doc_id
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

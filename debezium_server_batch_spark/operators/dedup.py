@@ -299,6 +299,80 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_by: str | Non
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    keep: str = "first",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: split each document on
+    `sep`, and for every paragraph whose lowercased form occurs in more
+    than one place across the WHOLE corpus keep only the first
+    occurrence (ordered by (id, position)); later occurrences are
+    removed and the survivors re-joined with `sep`. This is the line/
+    paragraph dedup of CCNet §3.1 and the "discard duplicated lines"
+    step most web-corpus pipelines run before span-level cleaning —
+    it kills per-site boilerplate (nav text, subscribe footers) that
+    exact doc-level dedup can't touch.
+
+    Whitespace-only paragraphs are structural, not content: they are
+    always kept and never count as duplicates. Documents that lose no
+    paragraph keep their ORIGINAL text byte-for-byte. ``keep="none"``
+    drops EVERY occurrence of a duplicated paragraph instead (the
+    stricter C4 variant).
+
+    Returns (id_col, clean_text, n_dropped).
+
+    Scale shape (100 TB): the occurrence stream (id, pos, md5) is
+    shuffled ONCE — an explicit repartition on the paragraph hash that
+    BOTH the winner aggregate and the occurrence join consume
+    (ReusedExchange, plan-asserted in tests). The winner per hash is a
+    min-struct aggregate (streaming, constant memory per key), and the
+    join is co-partitioned so it adds no shuffle. A boilerplate
+    paragraph occurring 10^8 times concentrates its occurrences in one
+    partition, but rows are ~50 bytes and the work is a linear scan —
+    the lower bound for occurrence-level decisions. The alternative
+    (separate exchanges for agg and join) scans and explodes the corpus
+    TWICE; rejected for the same reason remove_shared_spans aggregates
+    first."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    paras = F.split(F.col(text_col), sep)
+    base = df.select(F.col(id_col), F.col(text_col), paras.alias("_ps"))
+    occ = (
+        base.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.posexplode("_ps").alias("_p", "_para"))
+        .filter(F.trim(F.col("_para")) != "")
+        .select(F.col(id_col), F.col("_p"), F.md5(F.lower("_para")).alias("_h"))
+        .repartition("_h")
+    )
+    winners = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("_p"))).alias("_w"),
+        F.count("*").alias("_n"),
+    )
+    if keep == "first":
+        lose = (F.col("_w")[id_col] != F.col(id_col)) | (F.col("_w._p") != F.col("_p"))
+    else:
+        lose = F.col("_n") > 1
+    dropped = (
+        occ.join(winners, "_h")
+        .filter(lose)
+        .groupBy(id_col)
+        .agg(F.collect_set("_p").alias("_drops"))
+    )
+    rebuilt = F.concat_ws(
+        sep, F.filter("_ps", lambda p, i: ~F.array_contains("_drops", i))
+    )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_drops").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce(F.size("_drops"), F.lit(0)).cast("long").alias("n_dropped"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

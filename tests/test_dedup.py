@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from debezium_server_batch_spark.operators.dedup import (
+    dedup_paragraphs,
     exact_dedup,
     lww_agg,
     lww_salted,
@@ -149,6 +150,41 @@ def test_remove_shared_spans_semantics(spark):
     # ONE exchange over the hash-partitioned spans (explode+md5 chain
     # evaluated once, not once per branch) — check the FINAL adaptive plan
     q = remove_shared_spans(df, k=8, min_docs=2)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_dedup_paragraphs_semantics(spark):
+    """CCNet-style paragraph dedup: global first-wins by (doc, pos),
+    case-insensitive matching, structural empties kept, untouched docs
+    byte-exact, null ids pass through, keep='none' drops winners too."""
+    rows = [
+        (0, "alpha beta\n\nSubscribe now\n\ngamma"),
+        (1, "delta\n\nSubscribe now\n\nepsilon\n\nsubscribe NOW"),
+        (2, "unique only\n\n\n\nzeta"),  # structural empty para
+        (3, "Subscribe now"),  # fully-boilerplate doc
+        (None, "Subscribe now\n\nkeep me"),  # null id untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_dropped"]) for r in dedup_paragraphs(df).collect()}
+    # doc 0 holds the first occurrence — byte-exact original
+    assert out[0] == ("alpha beta\n\nSubscribe now\n\ngamma", 0)
+    # doc 1 loses the exact dup AND the case-variant dup
+    assert out[1] == ("delta\n\nepsilon", 2)
+    assert out[2] == ("unique only\n\n\n\nzeta", 0)
+    assert out[3] == ("", 1)
+    assert out[None] == ("Subscribe now\n\nkeep me", 0)
+
+    strict = {r["doc_id"]: r["clean_text"] for r in dedup_paragraphs(df, keep="none").collect()}
+    assert strict[0] == "alpha beta\n\ngamma"  # winner dropped too
+    with pytest.raises(ValueError):
+        dedup_paragraphs(df, keep="last")
+
+    # plan shape: ONE exchange over the occurrence stream feeds both the
+    # winner aggregate and the occurrence join (ReusedExchange) — the
+    # corpus is split+exploded once, not once per branch
+    q = dedup_paragraphs(df)
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
