@@ -1224,6 +1224,61 @@ def test_chained_pipeline_sync_incremental(spark, tmp_path):
     )
 
 
+def test_sync_incremental_scrub_transform_canonical_key(spark, tmp_path):
+    """The web-pipeline scrub stage runs INSIDE the medallion hop:
+    silver's merge key is the CANONICAL url (functions/url) and its
+    text is PII-redacted (functions/pii). Raw-url variants of one page
+    collapse to a single silver row by LWW order; because both
+    rewrites are pure row functions, incremental consumption stays
+    equivalent to a from-scratch transform, and deletes keyed by any
+    raw variant land on the canonical silver key."""
+    from debezium_server_batch_spark.functions.pii import redact_pii
+    from debezium_server_batch_spark.functions.url import canonicalize_url
+    from debezium_server_batch_spark.plans.chained import sync_incremental
+
+    scrub = lambda df: df.withColumn("url", canonicalize_url("url")).withColumn(  # noqa: E731
+        "text", redact_pii("text")
+    )
+    mk = lambda root: LakeTable.create(  # noqa: E731
+        spark, str(tmp_path / root), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    bronze, silver = mk("bronze"), mk("silver")
+
+    bronze.merge(_batch(spark, [
+        ("HTTP://A.com/p?utm_source=x", "mail me at a@b.io", 1, False),
+        ("http://a.com/p", "call 555-867-5309", 2, False),  # same page, canon key
+        ("https://b.com/q?id=3", "clean text", 3, False),
+    ]))
+    r1 = sync_incremental(bronze, silver, transform=scrub)
+    assert r1["rows_synced"] == 2 and r1["bootstrap"]  # variants collapsed by LWW
+    state = {r["url"]: r["text"] for r in silver.read().collect()}
+    assert state == {
+        "http://a.com/p": "call <PHONE>",  # __lsn 2 won; phone scrubbed
+        "https://b.com/q?id=3": "clean text",
+    }
+
+    # incremental: update arrives under the MESSY variant — must land on
+    # the same canonical silver key, with its email scrubbed
+    bronze.merge(_batch(spark, [("HTTP://A.com/p?utm_source=x", "new a@b.io", 4, False)]))
+    r2 = sync_incremental(bronze, silver, transform=scrub)
+    assert r2["rows_synced"] == 1 and not r2["bootstrap"]
+    state = {r["url"]: r["text"] for r in silver.read().collect()}
+    assert state["http://a.com/p"] == "new <EMAIL>"
+
+    # delete keyed by a raw variant propagates to the canonical key
+    bronze.merge(_batch(spark, [("http://a.com/p?utm_medium=m", None, 5, True)]))
+    sync_incremental(bronze, silver, transform=scrub)
+    assert {r["url"] for r in silver.read().collect()} == {"https://b.com/q?id=3"}
+
+    # incremental == from-scratch (pure-function transform invariant)
+    scratch = mk("scratch")
+    sync_incremental(bronze, scratch, transform=scrub)
+    assert sorted(tuple(r) for r in silver.read().collect()) == sorted(
+        tuple(r) for r in scratch.read().collect()
+    )
+
+
 def test_sync_incremental_transform_failure_dead_letter(spark, tmp_path):
     """Transform failures (merge key nulled by the transform) are ALWAYS
     excluded from the downstream merge, and with dead_letter set their
