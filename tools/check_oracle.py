@@ -21,7 +21,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def value_hash(rows, columns) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple((v is None, "" if v is None else v) for v in row),
     )
     h = hashlib.sha256()
     for row in canon:
