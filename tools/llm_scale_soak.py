@@ -192,6 +192,36 @@ def main() -> None:
         "skew": _heaviest_stage_skew(ui, app, s0),
     }
 
+    # ---- paragraph-level exact dedup (CCNet lines) -------------------
+    # paragraph view: the 12-token footer becomes its own paragraph, so
+    # each of the 3 footers is a ~133k-occurrence hot paragraph — the
+    # exact adversary the single-shuffle occurrence plan must absorb.
+    # Ground truth: every footered doc but the 3 global winners loses
+    # exactly its footer paragraph (bodies are unique per doc).
+    from debezium_server_batch_spark.operators.dedup import dedup_paragraphs
+
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    pdocs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " (f[0-2]_0 )", "\n\n$1").alias("text"),
+    )
+    pd = dedup_paragraphs(pdocs)
+    pagg = pd.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(F.col("clean_text").rlike("f[0-2]_").cast("long")).alias("footer_kept"),
+    ).collect()[0]
+    footered = docs.filter(F.col("text").rlike(" f[0-2]_0 ")).count()
+    out["paragraph_dedup"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "footered_docs": footered,
+        "paragraphs_dropped": pagg["dropped"],
+        "expected_dropped": footered - 3,
+        "winners_keeping_footer": pagg["footer_kept"],
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+    para_ok = pagg["dropped"] == footered - 3 and pagg["footer_kept"] == 3
+
     # ---- benchmark decontamination (broadcast gram probe) ------------
     from debezium_server_batch_spark.operators.dedup import decontaminate
 
@@ -280,6 +310,7 @@ def main() -> None:
         and n_cands < 50 * n_docs
         and unlabeled == 0
         and dec_ok
+        and para_ok
     )
     out["pass"] = ok
     print(json.dumps(out))
