@@ -181,13 +181,10 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # crawl-key canonicalization: seed a deterministic messy URL per doc
-    # (case-variant host, default/alternating port, tracking params,
-    # fragment — the oracle seeds the same expression), then emit the
-    # canonical form + host. Map-only codegen projection.
-    from debezium_server_batch_spark.functions.url import canonicalize_url, url_host
-
+def _seed_messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic messy URL per doc (case-variant host, default/
+    # alternating port, tracking params, fragment) — the url-query
+    # oracles seed the same expression in SQL
     d = F.col("doc_id")
     ds = d.cast("string")
     url = F.concat(
@@ -203,13 +200,34 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&b=2#sec"),
         ds,
     )
-    docs = _read(spark, sf_dir, "documents")
-    seeded = docs.select("doc_id", url.alias("url"))
+    return _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-key canonicalization over the seeded messy URLs: emit the
+    # canonical form + host. Map-only codegen projection.
+    from debezium_server_batch_spark.functions.url import canonicalize_url, url_host
+
+    seeded = _seed_messy_urls(spark, sf_dir)
     return seeded.select(
         "doc_id",
         canonicalize_url("url").alias("canon_url"),
         url_host("url").alias("host"),
     )
+
+
+def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain-blocklist stage: drop docs whose CANONICAL host is one of
+    # the 10 blocked sites (~25% of the seeded corpus) — broadcast
+    # left-anti join, corpus side never shuffled.
+    from debezium_server_batch_spark.functions.url import filter_blocklisted_hosts
+
+    bl = spark.range(10).select(
+        F.concat(
+            F.lit("www.site"), F.col("id").cast("string"), F.lit(".example.com")
+        ).alias("host")
+    )
+    return filter_blocklisted_hosts(_seed_messy_urls(spark, sf_dir), bl)
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
         "url_canonicalize": q_url_canonicalize,
+        "host_blocklist": q_host_blocklist,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
@@ -746,14 +765,7 @@ def _pii_redaction_oracle() -> str:
         """
 
 
-def _url_canonicalize_oracle() -> str:
-    """CTE chain generated from functions/url.py's own regexes and
-    tracking-param table (no drift possible); only the messy-URL
-    seeding expression mirrors q_url_canonicalize's F.concat."""
-    from debezium_server_batch_spark.functions.url import url_oracle_ctes
-
-    return f"""
-            WITH seeded AS (
+_SEEDED_URLS_SQL = """seeded AS (
               SELECT doc_id,
                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
                 || 'WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
@@ -765,9 +777,35 @@ def _url_canonicalize_oracle() -> str:
                          THEN '&fbclid=c' || CAST(doc_id AS VARCHAR) ELSE '' END)
                 || '&b=2#sec' || CAST(doc_id AS VARCHAR) AS url
               FROM documents
-            ),
+            )"""
+
+
+def _url_canonicalize_oracle() -> str:
+    """CTE chain generated from functions/url.py's own regexes and
+    tracking-param table (no drift possible); only the messy-URL
+    seeding expression mirrors _seed_messy_urls' F.concat."""
+    from debezium_server_batch_spark.functions.url import url_oracle_ctes
+
+    return f"""
+            WITH {_SEEDED_URLS_SQL},
             {url_oracle_ctes('url', 'seeded')}
             SELECT doc_id, canon_url, host FROM urlc
+        """
+
+
+def _host_blocklist_oracle() -> str:
+    """Blocklist stage over the same seeded URLs: survivors are rows
+    whose canonical host is not one of the 10 blocked sites (rows with
+    no parseable host are kept)."""
+    from debezium_server_batch_spark.functions.url import url_oracle_ctes
+
+    return f"""
+            WITH {_SEEDED_URLS_SQL},
+            {url_oracle_ctes('url', 'seeded')}
+            SELECT doc_id, url FROM urlc
+            WHERE host IS NULL OR host NOT IN (
+              SELECT 'www.site' || CAST(range AS VARCHAR) || '.example.com'
+              FROM range(10))
         """
 
 
@@ -880,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redaction": _pii_redaction_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
+        "host_blocklist": _host_blocklist_oracle(),
         "paragraph_dedup": r"""
             WITH seeded AS (
               SELECT doc_id,

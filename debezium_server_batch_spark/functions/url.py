@@ -99,6 +99,35 @@ def url_host(col: Column | str) -> Column:
     )
 
 
+def filter_blocklisted_hosts(
+    df, blocklist, url_col: str = "url", host_col: str | None = None
+):
+    """Drop every row whose host appears in `blocklist` (a DataFrame
+    with a single `host` column) — the domain-blocklist stage of a
+    crawl pipeline (adult/spam/robots-excluded domains). Matching is on
+    the canonical host (``url_host``: lowercased, port stripped), so
+    case/port variants of a blocked domain cannot slip through. Rows
+    whose url has no parseable host (url_host NULL) are KEPT — the
+    blocklist names domains, and a non-URL row is not on it; quarantine
+    of malformed rows is the DLQ's job, not the blocklist's.
+
+    With `host_col` given, that column is trusted as the precomputed
+    canonical host and `url_col` is ignored.
+
+    100-TB shape: a blocklist is 10^4-10^6 short strings — broadcast
+    it; the filter is then a map-only BroadcastHashJoin(LeftAnti) fused
+    into the scan, no shuffle of the corpus (plan-asserted in tests)."""
+    from pyspark.sql import functions as _F
+
+    h = _F.col(host_col) if host_col else url_host(url_col)
+    bl = _F.broadcast(blocklist.select(_F.col("host").alias("_bl_host")).distinct())
+    return (
+        df.withColumn("_host", h)
+        .join(bl, _F.col("_host") == _F.col("_bl_host"), "left_anti")
+        .drop("_host")
+    )
+
+
 # ---------------------------------------------------------------- oracle
 
 

@@ -5,6 +5,7 @@ import duckdb
 
 from debezium_server_batch_spark.functions.url import (
     canonicalize_url,
+    filter_blocklisted_hosts,
     url_host,
     url_oracle_ctes,
 )
@@ -51,6 +52,34 @@ def test_canonicalization_rules(spark):
     assert got["relative/path?utm_source=x"] == ("relative/path?utm_source=x", None)
     assert got[HOSTILE[9]] == ("http://a.b/c?keep=2", "a.b")
     assert got[""] == ("", None)
+
+
+def test_filter_blocklisted_hosts(spark):
+    """Blocklist matches the CANONICAL host (case/port variants of a
+    blocked domain are caught); non-URL rows are kept; the corpus side
+    is never shuffled (broadcast left-anti, plan-asserted)."""
+    df = spark.createDataFrame(
+        [
+            (0, "http://bad.com/x"),
+            (1, "HTTPS://BAD.com:443/y"),  # variant of the blocked host
+            (2, "http://good.org/z"),
+            (3, "not a url"),  # no host → kept
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.com",)], "host string")
+    out = filter_blocklisted_hosts(df, bl)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+    assert out.columns == ["doc_id", "url"]  # helper column dropped
+
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    # precomputed-host path
+    df2 = df.select("doc_id", url_host("url").alias("host"))
+    out2 = filter_blocklisted_hosts(df2, bl, host_col="host")
+    assert {r["doc_id"] for r in out2.collect()} == {2, 3}
 
 
 def test_duckdb_parity_byte_for_byte(spark):
