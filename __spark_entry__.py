@@ -230,6 +230,97 @@ def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocklisted_hosts(_seed_messy_urls(spark, sf_dir), bl)
 
 
+def _seed_crawl_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic multi-snapshot fetch log: ~4 fetches per page
+    # (page = doc_id % 120), raw urls varying in host case / default
+    # port / tracking param so only CANONICAL collapse groups them;
+    # warc_ts strictly increasing in doc_id (no ties). The crawl-query
+    # oracles seed the same expressions in SQL.
+    d = F.col("doc_id")
+    page = (d % 120).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 2 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.SITE")),
+        ((d % 120) % 40).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        page,
+        F.lit("?id="),
+        page,
+        F.when(d % 3 == 0, F.lit("&utm_source=rss")).otherwise(F.lit("")),
+        F.lit("#f"),
+        d.cast("string"),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + d * 37).alias("warc_ts"),
+        "n_chars",
+    )
+
+
+def q_crawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-snapshot corpus collapse: newest fetch per canonical url
+    # (the batch face of the engine's MERGE-by-url semantics) + fetch
+    # stats, in ONE hash aggregate — see operators/crawl.latest_fetch.
+    from debezium_server_batch_spark.operators.crawl import latest_fetch
+
+    log = _seed_crawl_log(spark, sf_dir)
+    out = latest_fetch(log, url_col="url", ts_col="warc_ts", tiebreak=("doc_id",))
+    return out.select(
+        "canon_url",
+        "host",
+        "doc_id",
+        F.unix_seconds(F.col("warc_ts")).alias("last_ts_s"),
+        "n_fetches",
+        F.unix_seconds(F.col("first_warc_ts")).alias("first_ts_s"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-site rollup over the collapsed corpus: crawl-planning /
+    # politeness-budget input. Second single-shuffle aggregate over
+    # pages (not raw fetches).
+    from debezium_server_batch_spark.operators.crawl import host_stats, latest_fetch
+
+    log = _seed_crawl_log(spark, sf_dir)
+    collapsed = latest_fetch(log, url_col="url", ts_col="warc_ts", tiebreak=("doc_id",))
+    out = host_stats(collapsed, ts_col="warc_ts", size_col="n_chars")
+    return out.select(
+        "host",
+        "n_pages",
+        "n_fetches",
+        F.unix_seconds(F.col("first_warc_ts")).alias("first_ts_s"),
+        F.unix_seconds(F.col("last_warc_ts")).alias("last_ts_s"),
+        "total_n_chars",
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-ingest admission control: a re-crawl batch is half
+    # unchanged re-fetches (doc_id%10==7, byte-identical text → must be
+    # dropped) and half revised pages (doc_id%10==3, text + ' [rev2]'
+    # → must be admitted); match on portable md5 fingerprints vs the
+    # standing corpus, broadcast anti-join (new batch never shuffled).
+    from debezium_server_batch_spark.operators.crawl import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    refetch = docs.filter(d % 10 == 7).select(
+        (d + 1000000).alias("doc_id"), "text"
+    )
+    changed = docs.filter(d % 10 == 3).select(
+        (d + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+    )
+    new_batch = refetch.unionByName(changed)
+    admitted = incremental_dedup(
+        new_batch, docs.select("text"), cols=("text",), broadcast_corpus=True
+    )
+    return admitted.select("doc_id")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style paragraph dedup: seed a shared boilerplate paragraph
     # into every doc (+ a footer into every 4th — the oracle seeds the
@@ -650,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_canonicalize": q_url_canonicalize,
         "host_blocklist": q_host_blocklist,
+        "crawl_latest": q_crawl_latest,
+        "domain_stats": q_domain_stats,
+        "incremental_dedup": q_incremental_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_packing": q_doc_packing,
         "token_stats": q_token_stats,
@@ -809,6 +903,61 @@ def _host_blocklist_oracle() -> str:
         """
 
 
+_SEEDED_CRAWL_SQL = """fetches AS (
+              SELECT doc_id, n_chars,
+                'HTTPS://'
+                || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' ELSE 'www.SITE' END)
+                || CAST((doc_id % 120) % 40 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+                || '/p/' || CAST(doc_id % 120 AS VARCHAR)
+                || '?id=' || CAST(doc_id % 120 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=rss' ELSE '' END)
+                || '#f' || CAST(doc_id AS VARCHAR) AS url,
+                1700000000 + doc_id * 37 AS ts_s
+              FROM documents
+            )"""
+
+
+def _crawl_ranked_sql() -> str:
+    """Shared CTE chain: seeded fetch log → canonicalized → per-page
+    window rank (rn=1 is the LWW winner) + fetch stats."""
+    from debezium_server_batch_spark.functions.url import url_oracle_ctes
+
+    return f"""{_SEEDED_CRAWL_SQL},
+            {url_oracle_ctes('url', 'fetches')},
+            ranked AS (
+              SELECT canon_url, host, doc_id, n_chars, ts_s,
+                row_number() OVER (PARTITION BY canon_url
+                                   ORDER BY ts_s DESC, doc_id DESC) AS rn,
+                count(*) OVER (PARTITION BY canon_url) AS n_fetches,
+                min(ts_s) OVER (PARTITION BY canon_url) AS first_ts_s
+              FROM urlc
+            )"""
+
+
+def _crawl_latest_oracle() -> str:
+    return f"""
+            WITH {_crawl_ranked_sql()}
+            SELECT canon_url, host, doc_id, ts_s AS last_ts_s,
+                   n_fetches, first_ts_s
+            FROM ranked WHERE rn = 1
+        """
+
+
+def _domain_stats_oracle() -> str:
+    return f"""
+            WITH {_crawl_ranked_sql()}
+            SELECT host,
+                   count(*) AS n_pages,
+                   CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+                   min(first_ts_s) AS first_ts_s,
+                   max(ts_s) AS last_ts_s,
+                   CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+            FROM ranked WHERE rn = 1 AND host IS NOT NULL
+            GROUP BY host
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_upsert": """
@@ -919,6 +1068,20 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_redaction_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "host_blocklist": _host_blocklist_oracle(),
+        "crawl_latest": _crawl_latest_oracle(),
+        "domain_stats": _domain_stats_oracle(),
+        "incremental_dedup": """
+            WITH new_batch AS (
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 7
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, text || ' [rev2]' AS text
+              FROM documents WHERE doc_id % 10 = 3
+            )
+            SELECT n.doc_id FROM new_batch n
+            WHERE md5(n.text) NOT IN
+                  (SELECT md5(text) FROM documents WHERE text IS NOT NULL)
+        """,
         "paragraph_dedup": r"""
             WITH seeded AS (
               SELECT doc_id,

@@ -1,0 +1,130 @@
+"""Crawl-corpus maintenance operators (operators/crawl.py): latest
+fetch per canonical url, per-host rollups, incremental admission dedup.
+"""
+
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.operators.crawl import (
+    host_stats,
+    incremental_dedup,
+    latest_fetch,
+)
+
+FETCHES = [
+    # three raw variants of ONE page — case/port/tracking differ, all
+    # canonicalize to https://a.com/p?id=1
+    (1, "HTTPS://A.com:443/p?id=1", 100, 10),
+    (2, "https://a.com/p?id=1&utm_source=x", 300, 11),
+    (3, "https://A.COM/p?id=1#frag", 200, 12),
+    # a second page on the same host
+    (4, "https://a.com/q", 50, 13),
+    # a different host
+    (5, "http://b.org/", 400, 14),
+    # a non-URL row (canon pass-through, host NULL)
+    (6, "not a url", 999, 15),
+]
+SCHEMA = "fetch_id long, url string, warc_ts long, n_chars long"
+
+
+def test_latest_fetch_collapses_canonical_variants(spark):
+    log = spark.createDataFrame(FETCHES, SCHEMA)
+    out = latest_fetch(log, ts_col="warc_ts", tiebreak=("fetch_id",))
+    rows = {r["canon_url"]: r for r in out.collect()}
+    assert set(rows) == {
+        "https://a.com/p?id=1",
+        "https://a.com/q",
+        "http://b.org/",
+        "not a url",
+    }
+    page = rows["https://a.com/p?id=1"]
+    assert page["fetch_id"] == 2  # newest warc_ts=300 wins
+    assert page["n_fetches"] == 3
+    assert page["first_warc_ts"] == 100
+    assert page["warc_ts"] == 300
+    assert page["host"] == "a.com"
+    assert rows["not a url"]["host"] is None
+    # winner carries its own full row, not a mix
+    assert page["n_chars"] == 11
+
+
+def test_latest_fetch_ties_break_deterministically(spark):
+    log = spark.createDataFrame(
+        [(1, "https://a.com/", 100, 0), (2, "https://a.com/", 100, 0)], SCHEMA
+    )
+    out = latest_fetch(log, ts_col="warc_ts", tiebreak=("fetch_id",))
+    assert [r["fetch_id"] for r in out.collect()] == [2]
+
+
+def test_latest_fetch_single_shuffle(spark):
+    """Winner + count + min(ts) come out of ONE hash aggregate: the
+    plan has exactly one Exchange with map-side partial aggregation."""
+    log = spark.createDataFrame(FETCHES, SCHEMA)
+    out = latest_fetch(log, ts_col="warc_ts", tiebreak=("fetch_id",))
+    out.collect()
+    # AQE's toString repeats the plan under "== Initial Plan ==" —
+    # count only the final plan section
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_" in final  # map-side combine before the exchange
+
+
+def test_host_stats_rollup_excludes_non_urls(spark):
+    log = spark.createDataFrame(FETCHES, SCHEMA)
+    collapsed = latest_fetch(log, ts_col="warc_ts", tiebreak=("fetch_id",))
+    out = host_stats(collapsed, ts_col="warc_ts", size_col="n_chars")
+    rows = {r["host"]: r for r in out.collect()}
+    assert set(rows) == {"a.com", "b.org"}  # NULL-host row excluded
+    a = rows["a.com"]
+    assert a["n_pages"] == 2
+    assert a["n_fetches"] == 4  # 3 variant fetches + 1 for /q
+    assert a["first_warc_ts"] == 50
+    assert a["last_warc_ts"] == 300
+    assert a["total_n_chars"] == 11 + 13
+
+
+def test_incremental_dedup_admission(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),  # unchanged re-fetch → dropped
+            (11, "gamma"),  # new content → admitted
+            (12, None),  # NULL never matches (even corpus NULL) → admitted
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(new, corpus, cols=("text",), broadcast_corpus=True)
+    assert {r["doc_id"] for r in out.collect()} == {11, 12}
+    assert out.columns == ["doc_id", "text"]  # fingerprint col dropped
+
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_incremental_dedup_multi_column_separator(spark):
+    """("ab","c") must not fingerprint-collide with ("a","bc")."""
+    corpus = spark.createDataFrame([("ab", "c")], "t1 string, t2 string")
+    new = spark.createDataFrame(
+        [("a", "bc"), ("ab", "c")], "t1 string, t2 string"
+    )
+    out = incremental_dedup(new, corpus, cols=("t1", "t2"))
+    assert [(r["t1"], r["t2"]) for r in out.collect()] == [("a", "bc")]
+
+
+def test_incremental_dedup_shuffle_path(spark):
+    """Without broadcast, the corpus collapses to DISTINCT fingerprints
+    before the anti-join (narrow shuffle, not full rows)."""
+    corpus = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "t0"), (101, "t99")], "doc_id long, text string"
+    )
+    out = incremental_dedup(new, corpus, cols=("text",))
+    assert {r["doc_id"] for r in out.collect()} == {101}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "partial_" in plan or "HashAggregate" in plan  # distinct pre-join
