@@ -151,6 +151,31 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # normalization stage: the synthetic corpus is clean ASCII, so seed
+    # deterministic mess per doc — decomposed accents + the ohm-sign
+    # NFC singleton, CRLF runs, tab/space runs, a control char, hugging
+    # + leading/trailing whitespace (the oracle seeds the same bytes
+    # via chr()) — then normalize. NFC is the one Arrow-UDF step; the
+    # rule chain is pure codegen.
+    from debezium_server_batch_spark.functions.text import clean_text
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  cafe\u0301 \r\n\r\n\r\n"),  # decomposed e + combining acute
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit("\tx  y\x07z")).otherwise(
+                F.lit(" \u2126hm")  # OHM SIGN, NFC singleton -> U+03A9
+            ),
+            F.lit("   \n "),
+        ).alias("text"),
+    )
+    return seeded.select("doc_id", clean_text("text").alias("clean_text"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub: the synthetic corpus carries no PII, so seed one
     # deterministic email/IP/SSN/phone per doc (the oracle seeds the
@@ -738,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_shared_spans": q_remove_shared_spans,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "clean_text": q_clean_text,
         "pii_redaction": q_pii_redaction,
         "url_canonicalize": q_url_canonicalize,
         "host_blocklist": q_host_blocklist,
@@ -935,6 +961,28 @@ def _crawl_ranked_sql() -> str:
             )"""
 
 
+def _clean_text_oracle() -> str:
+    """Seeds the same messy bytes via chr() (769 = combining acute,
+    8486 = OHM SIGN, 7 = BEL), then applies the GENERATED normalization
+    expression (same CLEANING_RULES table + nfc_normalize as Spark)."""
+    from debezium_server_batch_spark.functions.text import clean_text_oracle_expr
+
+    return f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                '  cafe' || chr(769) || ' ' || repeat(chr(13) || chr(10), 3)
+                || text
+                || (CASE WHEN doc_id % 2 = 0
+                         THEN chr(9) || 'x  y' || chr(7) || 'z'
+                         ELSE ' ' || chr(8486) || 'hm' END)
+                || '   ' || chr(10) || ' ' AS text
+              FROM documents
+            )
+            SELECT doc_id, {clean_text_oracle_expr('text')} AS clean_text
+            FROM seeded
+        """
+
+
 def _crawl_latest_oracle() -> str:
     return f"""
             WITH {_crawl_ranked_sql()}
@@ -1065,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.contaminated_grams, 0) >= 1 AS contaminated
             FROM totals t LEFT JOIN hits h USING (doc_id)
         """,
+        "clean_text": _clean_text_oracle(),
         "pii_redaction": _pii_redaction_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "host_blocklist": _host_blocklist_oracle(),

@@ -244,3 +244,64 @@ def shingles(text: Column, k: int = 5) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization — the first cleaning stage of a web corpus
+# (CCNet/C4 both normalize before any dedup so that byte-level noise
+# doesn't defeat exact-hash matching).
+#
+# Unicode NFC is the ONE step Spark's built-ins cannot express, so it is
+# an Arrow pandas UDF (with a vectorized isascii() fast path — NFC is
+# the identity on ASCII, which is most crawl text). Everything else is a
+# generated chain of codegen regexp_replace calls; the pattern table is
+# restricted to Java-regex ∩ RE2 syntax and the DuckDB oracle expression
+# is GENERATED from the same table (clean_text_oracle_expr), so Spark
+# and oracle cannot drift.
+# --------------------------------------------------------------------------
+
+# applied in order, AFTER NFC. Each entry: (pattern, replacement).
+CLEANING_RULES: tuple[tuple[str, str], ...] = (
+    (r"\r\n?", "\n"),  # CRLF / bare CR → LF
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),  # control chars (keep \t \n)
+    (r"[\t ]+", " "),  # tab/space runs → one space
+    (r" ?\n ?", "\n"),  # spaces hugging a newline
+    (r"\n{3,}", "\n\n"),  # 3+ blank lines → paragraph break
+    (r"^[\n ]+", ""),  # leading whitespace
+    (r"[\n ]+$", ""),  # trailing whitespace
+)
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized Unicode NFC. Identity on ASCII (checked with the
+    C-level str.isascii, so the common case never enters unicodedata)."""
+    import unicodedata
+
+    def _nfc(s):
+        if s is None or s.isascii():
+            return s
+        return unicodedata.normalize("NFC", s)
+
+    return text.map(_nfc)
+
+
+def clean_text(text: Column, nfc: bool = True) -> Column:
+    """Normalized text: NFC (optional), then CLEANING_RULES in order.
+    NULL-safe. With nfc=False the whole expression is codegen."""
+    out = nfc_normalize(text) if nfc else text
+    for pat, rep in CLEANING_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def clean_text_oracle_expr(expr: str, nfc: bool = True) -> str:
+    """DuckDB expression equivalent to clean_text, generated from the
+    same CLEANING_RULES table (single-quote SQL literals; patterns are
+    RE2-safe by construction)."""
+    out = f"nfc_normalize({expr})" if nfc else expr
+    for pat, rep in CLEANING_RULES:
+        p = pat.replace("\\", "\\\\").replace("'", "''")
+        r = rep.replace("\\", "\\\\").replace("'", "''")
+        out = f"regexp_replace({out}, E'{p}', E'{r}', 'g')"
+    return out

@@ -112,3 +112,60 @@ def test_repetition_features_and_top_bigram(spark):
     assert bg[2] == 0.0 and bg[4] == 0.0  # <2 tokens → no bigrams
     assert bg[1] == pytest.approx(2 / 3)  # "a a" twice of 3 bigrams
     assert bg[3] == pytest.approx(0.5)  # "w1 w2" twice of 4 bigrams
+
+
+def test_clean_text_normalization(spark):
+    """NFC (decomposed accents + the U+2126 singleton), control-char
+    strip, CRLF folding, run squeezing, and edge trimming — against the
+    DuckDB oracle expression generated from the same rule table."""
+    import duckdb
+
+    from debezium_server_batch_spark.functions.text import (
+        clean_text,
+        clean_text_oracle_expr,
+    )
+
+    hostile = [
+        "cafe\u0301 and \u2126 resistance",  # decomposed accent + OHM SIGN
+        "a\tb\x07c   d",
+        "line1  \r\n\r\n\r\n\r\n  line2",
+        "  \n\n leading and trailing \n  ",
+        "",
+        None,
+        "plain ascii text",
+        "\x0b\x0cvertical tab and form feed",
+        "already clean",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(hostile)], "i long, t string"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", clean_text("t").alias("c")).collect()}
+
+    # spot-checks of the semantics themselves
+    assert got[0] == "café and Ω resistance"  # composed forms
+    assert got[1] == "a bc d"
+    assert got[2] == "line1\n\nline2"
+    assert got[3] == "leading and trailing"
+    assert got[5] is None
+
+    con = duckdb.connect(":memory:")
+    con.execute("CREATE TABLE h(i BIGINT, t VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?, ?)", [(i, s) for i, s in enumerate(hostile)]
+    )
+    exp = dict(
+        con.sql(f"SELECT i, {clean_text_oracle_expr('t')} FROM h").fetchall()
+    )
+    assert got == exp  # byte-for-byte engine parity
+
+
+def test_clean_text_codegen_without_nfc(spark):
+    """nfc=False keeps the whole expression JVM-side: no Python eval in
+    the plan."""
+    from debezium_server_batch_spark.functions.text import clean_text
+
+    df = spark.createDataFrame([(1, " a\r\nb ")], "i long, t string")
+    out = df.select(clean_text("t", nfc=False).alias("c"))
+    assert out.collect()[0]["c"] == "a\nb"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
