@@ -1718,6 +1718,45 @@ class LakeTable:
             summary={"operation": operation},
         )
 
+    def rollback(self, to_version: int) -> int:
+        """Roll the table's CURRENT state back to `to_version` by
+        committing a NEW snapshot whose data files, schema catalog, and
+        consumer checkpoints all equal that version's — Iceberg
+        `rollback_to_snapshot` semantics: history only moves forward, no
+        file is deleted (time travel to the abandoned versions keeps
+        working until vacuum expires them), and readers flip atomically.
+        The bad-batch recovery: a poisoned ingest window is undone in
+        one metadata-only commit, O(buckets) work, no Spark job.
+
+        Checkpoints (default slot AND every writer slot) roll back WITH
+        the data: a replay after rollback resumes from the rolled-back
+        offsets and re-applies the undone windows deterministically
+        (idempotent LWW merge), so rollback + replay reconverges instead
+        of silently skipping the re-ingested range — the exactly-once
+        contract holds across the rollback.
+
+        Not rebaseable: rollback must not race a live ingester (the
+        racer's new data would be silently undone); losing the claim
+        raises ConcurrentCommitError for an explicit retry decision."""
+        cur = self.current_version()
+        target = self.snapshot(to_version)  # raises if expired/unknown
+        if to_version == cur:
+            return cur
+
+        def build(base: dict) -> dict:
+            return {
+                **self._carry(target),
+                "schemas": dict(target["schemas"]),
+                "current_schema_id": target["current_schema_id"],
+                "buckets": {b: list(fs) for b, fs in target["buckets"].items()},
+                "checkpoint": target.get("checkpoint"),
+                "checkpoints": dict(target.get("checkpoints") or {}),
+                "lineage": [],
+                "summary": {"operation": "rollback", "to_version": to_version},
+            }
+
+        return self._commit(build, rebaseable=False, expected_base=cur)
+
     def vacuum(self, keep_last: int = 2, orphan_grace_s: float = 600.0) -> list[str]:
         """Delete data files unreferenced by the last `keep_last`
         snapshots (orphans from crashes + expired versions), and expire

@@ -12,6 +12,7 @@ Subcommands:
   generate   synthesize a deterministic Debezium-shaped event log
   replay     replay the log into a LakeTable (resumes from checkpoint)
   compact    run table maintenance (compaction + tombstone purge + vacuum)
+  rollback   roll a table back to an earlier snapshot (bad-batch recovery)
 """
 
 from __future__ import annotations
@@ -128,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--purge-tombstones", action="store_true")
     m.add_argument("--vacuum-keep", type=int, default=2)
 
+    rb = sub.add_parser("rollback", help="roll the table back to an earlier snapshot "
+                        "(bad-batch recovery; metadata-only, checkpoints roll back with the data)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-version", type=int, required=True)
+    rb.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    rb.add_argument("--fault-rate", type=float, default=0.05)
+    rb.add_argument("--fault-seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -233,6 +242,21 @@ def main(argv: list[str] | None = None) -> int:
                 if inner is not None and hasattr(inner, "stats"):
                     line["storage_faults"] = inner.stats
             print(json.dumps(line))
+
+        elif args.cmd == "rollback":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            new_v = t.rollback(args.to_version)
+            print(json.dumps({
+                "version": new_v,
+                "rolled_back_to": args.to_version,
+                "rows": t.total_rows(),
+            }))
 
         elif args.cmd == "compact":
             from debezium_server_batch_spark.plans.laketable import LakeTable

@@ -86,3 +86,43 @@ def test_cli_replay_flaky_resume_noop(spark, tiny_log, tmp_path, capsys):
     assert main(args) == 0
     again = _last_json(capsys)
     assert again["batches"] == 0 and again["events"] == 0
+
+
+def test_cli_rollback_undoes_tail_and_replay_reconverges(spark, tiny_log, tmp_path, capsys):
+    """`rollback --to-version` flips the table back (metadata-only),
+    rolls the checkpoint back with the data, and a re-replay of the
+    undone windows reconverges to the exact pre-rollback final state."""
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    root = str(tmp_path / "rb_t")
+    rc = main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "80", "--buckets", "4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    t = LakeTable.load(spark, root)
+    final_v = t.current_version()
+    final_rows = {tuple(r) for r in t.read().collect()}
+    mid_v = t.versions()[len(t.versions()) // 2]
+
+    rc = main(["rollback", "--table", root, "--to-version", str(mid_v)])
+    assert rc == 0
+    line = _last_json(capsys)
+    assert line["rolled_back_to"] == mid_v
+    assert line["version"] > final_v  # history moves forward
+    t2 = LakeTable.load(spark, root)
+    assert {tuple(r) for r in t2.read().collect()} == {
+        tuple(r) for r in t2.read(version=mid_v).collect()
+    }
+
+    # replay resumes from the rolled-back checkpoint and reconverges
+    rc = main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "80", "--buckets", "4",
+    ])
+    assert rc == 0
+    replay_line = _last_json(capsys)
+    assert replay_line["events"] > 0  # the undone windows re-applied
+    t3 = LakeTable.load(spark, root)
+    assert {tuple(r) for r in t3.read().collect()} == final_rows

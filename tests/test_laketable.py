@@ -1435,3 +1435,71 @@ def test_format_version_gate(spark, table, tmp_path):
         fh.write(_json.dumps(future))
     with pytest.raises(UnsupportedFormatVersionError):
         LakeTable.load(spark, table.root)
+
+
+def test_rollback_restores_data_schema_and_checkpoint(spark, table):
+    table.merge(
+        _batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]),
+        checkpoint={"batch_id": 0, "last_offset": 10},
+    )
+    good_v = table.current_version()
+    good_rows = {(r["url"], r["text"]) for r in table.read().collect()}
+
+    # the "bad batch": overwrites a, deletes b, inserts junk
+    table.merge(
+        _batch(spark, [("a", "JUNK", 9, False), ("b", None, 10, True), ("z", "junk", 11, False)]),
+        checkpoint={"batch_id": 1, "last_offset": 20},
+    )
+    bad_v = table.current_version()
+    assert {r["url"] for r in table.read().collect()} == {"a", "z"}
+
+    new_v = table.rollback(good_v)
+    assert new_v > bad_v  # history moves forward
+    assert table.current_version() == new_v
+    assert {(r["url"], r["text"]) for r in table.read().collect()} == good_rows
+    # checkpoint rolled back WITH the data: replay re-applies the window
+    assert table.checkpoint()["last_offset"] == 10
+    assert table.snapshot()["summary"] == {"operation": "rollback", "to_version": good_v}
+    # time travel to the undone version still works until vacuum
+    assert {r["url"] for r in table.read(version=bad_v).collect()} == {"a", "z"}
+
+    # replaying the undone window reconverges deterministically
+    table.merge(
+        _batch(spark, [("a", "t2-fixed", 9, False), ("b", None, 10, True)]),
+        checkpoint={"batch_id": 1, "last_offset": 20},
+    )
+    rows = {r["url"]: r["text"] for r in table.read().collect()}
+    assert rows == {"a": "t2-fixed"}
+    assert table.checkpoint()["last_offset"] == 20
+
+
+def test_rollback_refuses_unknown_and_noops_on_current(spark, table):
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    cur = table.current_version()
+    assert table.rollback(cur) == cur  # no-op, no new version
+    assert table.current_version() == cur
+    with pytest.raises(FileNotFoundError):
+        table.rollback(cur + 50)
+
+
+def test_rollback_after_vacuum_expiry_refuses(spark, table):
+    for lsn in range(4):
+        table.merge(_batch(spark, [("a", f"t{lsn}", lsn, False)]))
+    old = table.versions()[0]
+    table.vacuum(keep_last=2, orphan_grace_s=0.0)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        table.rollback(old)
+
+
+def test_rollback_preserves_writer_slots(spark, table):
+    table.merge(
+        _batch(spark, [("a", "t1", 1, False)]),
+        checkpoint={"batch_id": 0, "last_offset": 5, "writer": "w1"},
+    )
+    good_v = table.current_version()
+    table.merge(
+        _batch(spark, [("a", "t2", 2, False)]),
+        checkpoint={"batch_id": 1, "last_offset": 9, "writer": "w1"},
+    )
+    table.rollback(good_v)
+    assert table.checkpoint(writer="w1")["last_offset"] == 5
