@@ -248,6 +248,80 @@ def main() -> None:
         "skew": _heaviest_stage_skew(ui, app, s0),
     }
 
+    # ---- crawl collapse: latest fetch per canonical url --------------
+    # 8 fetches per page (page = doc_id % (n/8)) under case/port/
+    # tracking-param raw-url variants; ground truth: winner is the top
+    # doc_id stratum, sum(n_fetches) == n_docs, 1000 distinct hosts.
+    from debezium_server_batch_spark.operators.crawl import (
+        host_stats,
+        incremental_dedup,
+        latest_fetch,
+    )
+
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    n_pages_target = n_docs // 8
+    page = F.col("doc_id") % n_pages_target
+    log = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Host")).otherwise(F.lit("www.host")),
+            (page % 1000).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            page.cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+    )
+    coll = latest_fetch(log, ts_col="warc_ts", tiebreak=("doc_id",)).persist()
+    stats_row = coll.agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.sum("n_fetches").alias("fetches"),
+        F.sum((F.col("doc_id") < n_docs - n_pages_target).cast("long")).alias("bad_winners"),
+    ).collect()[0]
+    n_hosts = host_stats(coll, ts_col="warc_ts").count()
+    coll.unpersist()
+    out["crawl_latest"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "pages": stats_row["pages"],
+        "expected_pages": n_pages_target,
+        "fetches_accounted": stats_row["fetches"],
+        "stale_winners": stats_row["bad_winners"],
+        "hosts": n_hosts,
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+    crawl_ok = (
+        stats_row["pages"] == n_pages_target
+        and stats_row["fetches"] == n_docs
+        and stats_row["bad_winners"] == 0
+        and n_hosts == 1000
+    )
+
+    # ---- incremental admission dedup (re-crawl vs standing corpus) ---
+    # 10% byte-identical re-fetches (must all be rejected) + 10% revised
+    # pages (must all be admitted); shuffle-path anti-join at this scale.
+    s0 = _max_stage(ui, app)
+    t0 = time.monotonic()
+    refetch = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    changed = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" rev2marker")).alias("text")
+    )
+    n_refetch, n_changed = refetch.count(), changed.count()
+    admitted = incremental_dedup(
+        refetch.unionByName(changed), docs.select("text"), cols=("text",)
+    ).count()
+    out["incremental_dedup"] = {
+        "wall_s": round(time.monotonic() - t0, 1),
+        "new_batch": n_refetch + n_changed,
+        "admitted": admitted,
+        "expected_admitted": n_changed,
+        "skew": _heaviest_stage_skew(ui, app, s0),
+    }
+    inc_ok = admitted == n_changed
+
     # ---- LSH candidate generation (the capped quadratic term) --------
     s0 = _max_stage(ui, app)
     t0 = time.monotonic()
@@ -311,6 +385,8 @@ def main() -> None:
         and unlabeled == 0
         and dec_ok
         and para_ok
+        and crawl_ok
+        and inc_ok
     )
     out["pass"] = ok
     print(json.dumps(out))
