@@ -13,6 +13,7 @@ Subcommands:
   replay     replay the log into a LakeTable (resumes from checkpoint)
   compact    run table maintenance (compaction + tombstone purge + vacuum)
   rollback   roll a table back to an earlier snapshot (bad-batch recovery)
+  describe   print table state (version, rows, files, deltas, checkpoints)
 """
 
 from __future__ import annotations
@@ -129,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--purge-tombstones", action="store_true")
     m.add_argument("--vacuum-keep", type=int, default=2)
 
+    d = sub.add_parser("describe", help="print table state as JSON: version, rows, "
+                       "files, outstanding deltas, schema, checkpoint slots, retained versions")
+    d.add_argument("--table", required=True)
+    d.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    d.add_argument("--fault-rate", type=float, default=0.05)
+    d.add_argument("--fault-seed", type=int, default=0)
+
     rb = sub.add_parser("rollback", help="roll the table back to an earlier snapshot "
                         "(bad-batch recovery; metadata-only, checkpoints roll back with the data)")
     rb.add_argument("--table", required=True)
@@ -242,6 +250,38 @@ def main(argv: list[str] | None = None) -> int:
                 if inner is not None and hasattr(inner, "stats"):
                     line["storage_faults"] = inner.stats
             print(json.dumps(line))
+
+        elif args.cmd == "describe":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            snap = t.snapshot()
+            delta_files, delta_rows, collapsed_rows = t.outstanding_delta_stats(snap)
+            files = sum(len(fs) for fs in snap["buckets"].values())
+            print(json.dumps({
+                "version": snap["version"],
+                "format_version": snap.get("format_version", 1),
+                "operation": (snap.get("summary") or {}).get("operation"),
+                # pre-collapse file rows (MoR deltas count every version of
+                # a key until compaction; read() LWW-collapses)
+                "file_rows": sum(f["rows"] for fs in snap["buckets"].values() for f in fs),
+                "collapsed_rows": collapsed_rows,
+                "files": files,
+                "buckets": len(snap["buckets"]),
+                "outstanding_delta_files": delta_files,
+                "outstanding_delta_rows": delta_rows,
+                "needs_collapse": bool(snap.get("needs_collapse")),
+                "merge_mode": snap.get("merge_mode"),
+                "key_col": snap.get("key_col"),
+                "schema_fields": [f.name for f in t.schema(snap).fields],
+                "checkpoint": snap.get("checkpoint"),
+                "checkpoint_writers": sorted((snap.get("checkpoints") or {}).keys()),
+                "retained_versions": t.versions(),
+            }))
 
         elif args.cmd == "rollback":
             from debezium_server_batch_spark.plans.laketable import LakeTable

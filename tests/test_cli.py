@@ -126,3 +126,37 @@ def test_cli_rollback_undoes_tail_and_replay_reconverges(spark, tiny_log, tmp_pa
     assert replay_line["events"] > 0  # the undone windows re-applied
     t3 = LakeTable.load(spark, root)
     assert {tuple(r) for r in t3.read().collect()} == final_rows
+
+
+def test_cli_describe_reports_table_state(spark, tiny_log, tmp_path, capsys):
+    root = str(tmp_path / "d_t")
+    rc = main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "120", "--buckets", "4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["describe", "--table", root])
+    assert rc == 0
+    d = _last_json(capsys)
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    t = LakeTable.load(spark, root)
+    assert d["version"] == t.current_version()
+    assert d["file_rows"] == t.total_rows()
+    live = t.read().count()
+    assert live <= d["file_rows"]  # MoR deltas hold pre-collapse versions
+    assert d["key_col"] == t.snapshot().get("key_col")
+    assert d["checkpoint"] is not None  # replay committed its offsets
+    assert d["retained_versions"] == t.versions()
+    assert d["files"] >= 1 and d["buckets"] >= 1
+    # after full compaction + tombstone purge, metadata file rows ==
+    # live rows exactly (tombstones otherwise count as file rows)
+    rc = main(["compact", "--table", root, "--purge-tombstones"])
+    assert rc == 0
+    rc = main(["describe", "--table", root])
+    assert rc == 0
+    d2 = _last_json(capsys)
+    assert d2["outstanding_delta_files"] == 0
+    assert d2["file_rows"] == live
+    assert not d2["needs_collapse"]
