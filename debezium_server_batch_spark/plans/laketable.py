@@ -1718,6 +1718,146 @@ class LakeTable:
             summary={"operation": operation},
         )
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Consistency check for the table's metadata↔data graph — the
+        post-incident tool for a store that dropped writes or a vacuum
+        that raced something it shouldn't have. No Spark job.
+
+        Checks:
+          1. every RETAINED snapshot parses, passes the format gate, and
+             its parent is the previous retained version or an expired
+             one (never a future/unknown version);
+          2. every bucket manifest a retained snapshot references loads;
+          3. every data file the CURRENT snapshot references exists;
+          4. no data-file path appears twice across the current
+             snapshot's buckets (a double-claimed file double-counts);
+          5. checkpoint batch_ids (default + every writer slot) are
+             non-decreasing across retained versions — a regression
+             means a commit raced the exactly-once bookkeeping.
+        `deep=True` additionally opens every current data file's parquet
+        footer (pyarrow) and compares `num_rows` against the manifest's
+        `rows` — catches truncation/corruption that existence checks
+        miss. Unreferenced parquet files in data/ are reported as
+        `orphan_files` (a WARNING: vacuum's job, not corruption).
+
+        Returns {"ok", "errors", "warnings", ...counters}; findings are
+        reported, never raised — callers decide severity. 100-TB note:
+        these are O(files) driver-side metadata probes; at real scale
+        run deep mode as a distributed map over the file list (the
+        check is embarrassingly parallel per file)."""
+        errors: list[str] = []
+        warnings: list[str] = []
+        versions = self.versions()
+        snaps: dict[int, dict] = {}
+        for v in versions:
+            try:
+                snaps[v] = self.snapshot(v)  # loads manifests too (check 2)
+            except Exception as e:  # noqa: BLE001 — fsck reports, never raises
+                errors.append(f"snapshot v{v}: unreadable ({e})")
+        # 1. parent chain
+        retained = sorted(snaps)
+        for i, v in enumerate(retained):
+            parent = snaps[v].get("parent")
+            if parent is None:
+                continue
+            prev = retained[i - 1] if i > 0 else None
+            if parent >= v:
+                errors.append(f"snapshot v{v}: parent v{parent} is not older")
+            elif prev is not None and parent != prev and parent in snaps:
+                errors.append(
+                    f"snapshot v{v}: parent v{parent} skips retained v{prev}"
+                )
+        # 3+4. current snapshot's files
+        files_checked = rows_meta = 0
+        deep_checked = 0
+        cur_files: list[dict] = []
+        if retained:
+            cur = snaps[retained[-1]]
+            seen_paths: set[str] = set()
+            for b, fs in cur["buckets"].items():
+                for f in fs:
+                    if f["path"] in seen_paths:
+                        errors.append(
+                            f"data file {f['path']} referenced more than once"
+                        )
+                    seen_paths.add(f["path"])
+                    cur_files.append(f)
+            for f in cur_files:
+                files_checked += 1
+                rows_meta += f["rows"]
+                local = os.path.join(self.root, f["path"])
+                if not os.path.exists(local):
+                    errors.append(f"data file missing: {f['path']}")
+                elif deep:
+                    try:
+                        import pyarrow.parquet as pq
+
+                        actual = pq.ParquetFile(local).metadata.num_rows
+                        deep_checked += 1
+                        if actual != f["rows"]:
+                            errors.append(
+                                f"data file {f['path']}: footer has {actual} "
+                                f"rows, manifest claims {f['rows']}"
+                            )
+                    except Exception as e:  # noqa: BLE001
+                        errors.append(f"data file {f['path']}: unreadable ({e})")
+            # orphans: parquet files on disk no retained snapshot references
+            all_ref = {
+                f["path"]
+                for s in snaps.values()
+                for fs in s["buckets"].values()
+                for f in fs
+            }
+            orphans = 0
+            data_dir = os.path.join(self.root, "data")
+            if os.path.isdir(data_dir):
+                for dirpath, _dirs, names in os.walk(data_dir):
+                    for n in names:
+                        if not n.endswith(".parquet"):
+                            continue
+                        rel = os.path.relpath(os.path.join(dirpath, n), self.root)
+                        if rel not in all_ref:
+                            orphans += 1
+            if orphans:
+                warnings.append(
+                    f"{orphans} unreferenced parquet file(s) under data/ "
+                    "(crash leftovers or expired versions — vacuum reclaims them)"
+                )
+        # 5. checkpoint monotonicity across retained versions. A
+        # rollback commit legitimately regresses every slot (that is
+        # its point — replay re-applies the undone windows), so the
+        # tracker re-seeds there instead of flagging it.
+        last_ckpt: dict[str, int] = {}
+        for v in retained:
+            s = snaps[v]
+            if (s.get("summary") or {}).get("operation") == "rollback":
+                last_ckpt = {}
+            slots = dict(s.get("checkpoints") or {})
+            if s.get("checkpoint") is not None:
+                slots[""] = s["checkpoint"]
+            for w, c in slots.items():
+                if c is None:
+                    continue
+                bid = c.get("batch_id")
+                if bid is None:
+                    continue
+                name = w or "<default>"
+                if name in last_ckpt and bid < last_ckpt[name]:
+                    errors.append(
+                        f"snapshot v{v}: checkpoint slot {name} regressed "
+                        f"batch_id {last_ckpt[name]} -> {bid}"
+                    )
+                last_ckpt[name] = bid
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "retained_versions": len(retained),
+            "files_checked": files_checked,
+            "rows_metadata": rows_meta,
+            "deep_files_verified": deep_checked,
+        }
+
     def rollback(self, to_version: int) -> int:
         """Roll the table's CURRENT state back to `to_version` by
         committing a NEW snapshot whose data files, schema catalog, and

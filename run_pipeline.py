@@ -14,6 +14,7 @@ Subcommands:
   compact    run table maintenance (compaction + tombstone purge + vacuum)
   rollback   roll a table back to an earlier snapshot (bad-batch recovery)
   describe   print table state (version, rows, files, deltas, checkpoints)
+  fsck       consistency check: metadata graph vs data files (exit 1 on findings)
 """
 
 from __future__ import annotations
@@ -136,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
     d.add_argument("--fault-rate", type=float, default=0.05)
     d.add_argument("--fault-seed", type=int, default=0)
+
+    fk = sub.add_parser("fsck", help="consistency check: metadata graph vs data files "
+                        "(parent chain, manifests, file existence, duplicate claims, "
+                        "checkpoint monotonicity; --deep verifies parquet footers)")
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true")
+    fk.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    fk.add_argument("--fault-rate", type=float, default=0.05)
+    fk.add_argument("--fault-seed", type=int, default=0)
 
     rb = sub.add_parser("rollback", help="roll the table back to an earlier snapshot "
                         "(bad-batch recovery; metadata-only, checkpoints roll back with the data)")
@@ -282,6 +292,18 @@ def main(argv: list[str] | None = None) -> int:
                 "checkpoint_writers": sorted((snap.get("checkpoints") or {}).keys()),
                 "retained_versions": t.versions(),
             }))
+
+        elif args.cmd == "fsck":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            report = t.fsck(deep=args.deep)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
 
         elif args.cmd == "rollback":
             from debezium_server_batch_spark.plans.laketable import LakeTable

@@ -160,3 +160,27 @@ def test_cli_describe_reports_table_state(spark, tiny_log, tmp_path, capsys):
     assert d2["outstanding_delta_files"] == 0
     assert d2["file_rows"] == live
     assert not d2["needs_collapse"]
+
+
+def test_cli_fsck_exit_codes(spark, tiny_log, tmp_path, capsys):
+    import os
+
+    root = str(tmp_path / "f_t")
+    assert main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "120", "--buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["fsck", "--table", root, "--deep"]) == 0
+    rep = _last_json(capsys)
+    assert rep["ok"] and rep["deep_files_verified"] == rep["files_checked"] > 0
+
+    # delete one referenced data file → nonzero exit
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    t = LakeTable.load(spark, root)
+    f = next(f for fs in t.snapshot()["buckets"].values() for f in fs)
+    os.remove(os.path.join(root, f["path"]))
+    assert main(["fsck", "--table", root]) == 1
+    rep = _last_json(capsys)
+    assert not rep["ok"]
