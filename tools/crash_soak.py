@@ -195,6 +195,9 @@ def main() -> None:
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores)
     t = LakeTable.load(spark, table)
     final_rows = t.read().count()
+    # structural integrity after the kills, BEFORE vacuum touches
+    # anything: deep fsck opens every referenced parquet footer
+    fsck_rep = t.fsck(deep=True)
     orphans = len(t.vacuum(keep_last=1, orphan_grace_s=0.0))
 
     dlq_stats = {}
@@ -221,13 +224,16 @@ def main() -> None:
         "final_rows": final_rows,
         "oracle_rows": oracle_rows,
         "exact_match": final_rows == oracle_rows,
+        "fsck_ok": fsck_rep["ok"],
+        "fsck_errors": fsck_rep["errors"][:5],
+        "fsck_deep_files": fsck_rep["deep_files_verified"],
         "orphan_files_reclaimed": orphans,
         **dlq_stats,
     }
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(dlq, ignore_errors=True)
     print(json.dumps(out))
-    ok = out["exact_match"] and kills > 0
+    ok = out["exact_match"] and out["fsck_ok"] and kills > 0
     if dlq_mode:
         ok = ok and dlq_stats["no_loss"] and failpoint_kills > 0
     if not ok:
