@@ -1771,6 +1771,13 @@ class LakeTable:
         files_checked = rows_meta = 0
         deep_checked = 0
         cur_files: list[dict] = []
+        local_data = "://" not in self.root  # data-file probes need a local root
+        if not local_data:
+            warnings.append(
+                "non-local table root: data-file existence/footer checks "
+                "skipped (run fsck where the data filesystem is mounted, "
+                "or distribute deep mode as a Spark job over the file list)"
+            )
         if retained:
             cur = snaps[retained[-1]]
             seen_paths: set[str] = set()
@@ -1785,6 +1792,8 @@ class LakeTable:
             for f in cur_files:
                 files_checked += 1
                 rows_meta += f["rows"]
+                if not local_data:
+                    continue
                 local = os.path.join(self.root, f["path"])
                 if not os.path.exists(local):
                     errors.append(f"data file missing: {f['path']}")
