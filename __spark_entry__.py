@@ -225,7 +225,9 @@ def _seed_messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&b=2#sec"),
         ds,
     )
-    return _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), "n_chars"
+    )
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +254,9 @@ def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("www.site"), F.col("id").cast("string"), F.lit(".example.com")
         ).alias("host")
     )
-    return filter_blocklisted_hosts(_seed_messy_urls(spark, sf_dir), bl)
+    return filter_blocklisted_hosts(_seed_messy_urls(spark, sf_dir), bl).select(
+        "doc_id", "url"
+    )
 
 
 def _seed_crawl_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +287,21 @@ def _seed_crawl_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.lit(1700000000) + d * 37).alias("warc_ts"),
         "n_chars",
     )
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain capping (RefinedWeb/FineWeb-style): at most 5 docs per
+    # host, best-first by n_chars (doc_id tiebreak) — deterministic on
+    # any engine; WindowGroupLimit pre-prunes map-side (plan-asserted
+    # in tests/test_crawl.py).
+    from debezium_server_batch_spark.functions.url import url_host
+    from debezium_server_batch_spark.operators.crawl import cap_per_host
+
+    seeded = _seed_messy_urls(spark, sf_dir)
+    with_host = seeded.select(
+        "doc_id", "n_chars", url_host("url").alias("host")
+    )
+    return cap_per_host(with_host, cap=5, order_by=("n_chars",), id_col="doc_id")
 
 
 def q_crawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_canonicalize": q_url_canonicalize,
         "host_blocklist": q_host_blocklist,
+        "host_cap": q_host_cap,
         "crawl_latest": q_crawl_latest,
         "domain_stats": q_domain_stats,
         "incremental_dedup": q_incremental_dedup,
@@ -886,7 +906,7 @@ def _pii_redaction_oracle() -> str:
 
 
 _SEEDED_URLS_SQL = """seeded AS (
-              SELECT doc_id,
+              SELECT doc_id, n_chars,
                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
                 || 'WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
                 || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
@@ -980,6 +1000,26 @@ def _clean_text_oracle() -> str:
             )
             SELECT doc_id, {clean_text_oracle_expr('text')} AS clean_text
             FROM seeded
+        """
+
+
+def _host_cap_oracle() -> str:
+    """Domain capping over the seeded urls: top-5 per host by
+    (n_chars DESC, doc_id ASC); NULL-host rows pass uncapped."""
+    from debezium_server_batch_spark.functions.url import url_oracle_ctes
+
+    return f"""
+            WITH {_SEEDED_URLS_SQL},
+            {url_oracle_ctes('url', 'seeded')},
+            ranked AS (
+              SELECT doc_id, n_chars, host,
+                row_number() OVER (PARTITION BY host
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM urlc WHERE host IS NOT NULL
+            )
+            SELECT doc_id, n_chars, host FROM ranked WHERE rn <= 5
+            UNION ALL
+            SELECT doc_id, n_chars, host FROM urlc WHERE host IS NULL
         """
 
 
@@ -1117,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_redaction_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "host_blocklist": _host_blocklist_oracle(),
+        "host_cap": _host_cap_oracle(),
         "crawl_latest": _crawl_latest_oracle(),
         "domain_stats": _domain_stats_oracle(),
         "incremental_dedup": """

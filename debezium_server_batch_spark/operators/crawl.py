@@ -148,3 +148,39 @@ def incremental_dedup(
         .join(seen, "_fp", "left_anti")
         .drop("_fp")
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    order_by: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `cap` rows per host — domain capping, the web-corpus
+    rebalancing stage that stops any single site (forums, wikis, link
+    farms) from dominating the training mix (RefinedWeb/FineWeb-style).
+    Which rows survive is deterministic: the top `cap` by `order_by`
+    DESC (e.g. a quality score), ties and the no-order case broken by
+    `id_col` ASC — the same row set on any engine or partitioning.
+    NULL-host rows pass through uncapped (they have no domain to cap;
+    upstream stages own them).
+
+    100-TB shape: a rank inside Window.partitionBy(host). Spark >= 3.5
+    plans rank<=k as WindowGroupLimit: each map task keeps only its
+    local top-(cap) per host BEFORE the exchange (asserted in tests),
+    so a 10^8-page host ships ~cap rows per input partition, not its
+    whole partition, and the post-shuffle sort is over the survivors.
+    This is the same partial-reduce insurance lww_agg gets from
+    partial aggregation — but for top-k instead of top-1."""
+    from pyspark.sql import Window
+
+    order = [F.col(c).desc() for c in order_by] + [F.col(id_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    capped = (
+        df.filter(F.col(host_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return capped.unionByName(df.filter(F.col(host_col).isNull()))

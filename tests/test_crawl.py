@@ -128,3 +128,29 @@ def test_incremental_dedup_shuffle_path(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "partial_" in plan or "HashAggregate" in plan  # distinct pre-join
+
+
+def test_cap_per_host_semantics_and_plan(spark):
+    """Domain capping: top-cap per host by order DESC with id tiebreak,
+    NULL hosts uncapped; Spark >=3.5 must plan the rank filter as
+    WindowGroupLimit (map-side top-k pruning before the exchange)."""
+    from debezium_server_batch_spark.operators.crawl import cap_per_host
+
+    rows = [(i, "big.com", 100 - i) for i in range(10)]  # quality desc by id
+    rows += [(20, "small.org", 5), (21, "small.org", 9)]
+    rows += [(30, None, 1), (31, None, 2)]  # no host → uncapped
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality long")
+    out = cap_per_host(df, cap=3, order_by=("quality",), id_col="doc_id")
+    got = {r["doc_id"] for r in out.collect()}
+    # big.com: quality 100,99,98 → docs 0,1,2; small.org under cap; nulls pass
+    assert got == {0, 1, 2, 20, 21, 30, 31}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # tie-break determinism: equal quality → lowest doc_id wins
+    ties = spark.createDataFrame(
+        [(i, "h.com", 7) for i in range(6)], "doc_id long, host string, quality long"
+    )
+    kept = {r["doc_id"] for r in cap_per_host(ties, 2, order_by=("quality",)).collect()}
+    assert kept == {0, 1}
