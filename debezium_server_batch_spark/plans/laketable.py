@@ -1051,6 +1051,7 @@ class LakeTable:
         current_schema_id: str | None = None,
         checkpoint: dict | None = None,
         lineage: list[dict] | None = None,
+        extra_props: dict | None = None,
     ) -> int:
         """Commit a rewrite computed against `snap` with VALIDATED
         REBASE onto concurrent winners — Iceberg's RewriteFiles
@@ -1084,6 +1085,17 @@ class LakeTable:
 
         def build(base: dict) -> dict:
             rebased = base["version"] != snap["version"]
+            if rebased and extra_props:
+                # a rewrite that changes table-layout properties (bucket
+                # rescale) interprets EVERY file under the new layout —
+                # a concurrent winner's files were written under the old
+                # one, so there is no metadata-only rebase: bucket 3-of-16
+                # is not bucket 3-of-64. Full recompute instead.
+                raise ConcurrentCommitError(
+                    f"table at {self.root} advanced to v{base['version']} during a "
+                    f"layout-changing rewrite (base v{snap['version']}, "
+                    f"{sorted(extra_props)}) — recompute from the current snapshot"
+                )
             if rebased:
                 for b, paths in consumed_paths.items():
                     have = {f["path"] for f in base["buckets"].get(b, [])}
@@ -1133,6 +1145,7 @@ class LakeTable:
                             )
             return {
                 **self._carry(base),
+                **(extra_props or {}),
                 "needs_collapse": nc,
                 "schemas": my_schemas if we_evolved else base["schemas"],
                 "current_schema_id": my_sid if we_evolved else base["current_schema_id"],
@@ -1375,7 +1388,7 @@ class LakeTable:
     # operations whose added files carry NEW logical rows (a changelog
     # entry); maintenance rewrites re-emit existing rows and are skipped
     _CHANGE_OPS = ("create", "append", "merge-mor")
-    _REWRITE_OPS = ("compact", "compact-deltas", "purge-tombstones")
+    _REWRITE_OPS = ("compact", "compact-deltas", "purge-tombstones", "rescale")
 
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read — the Iceberg incremental-scan
@@ -1675,6 +1688,63 @@ class LakeTable:
             return df
 
         return self._retry_concurrent(lambda: self._rewrite_all(df_fn, "compact"), "compact")
+
+    def rescale(self, new_num_buckets: int) -> int:
+        """Bucket-count evolution — the `bucket(N, key)` analogue of
+        Iceberg partition-spec evolution, for tables whose key-space
+        outgrew (or never filled) the bucket count chosen at creation.
+        At 10^10 rows a 16-bucket table puts ~6×10^8 keys behind every
+        MERGE bucket scan; rescaling to 4096 restores O(rows/4096)
+        bucket-pruned merges and read_keys lookups.
+
+        One committed full rewrite under the NEW layout (same machinery
+        as compact: LWW-folds outstanding MoR deltas, keeps tombstone
+        winners, key-clustered output so zone maps stay discriminating).
+        Unlike compact, the commit is NOT rebaseable: a concurrent
+        winner's files were bucketed under the old layout, so any race
+        triggers a full recompute retry instead of a metadata rebase.
+        Checkpoints, schema catalog, and changelog semantics carry —
+        `changes()` skips a rescale like any maintenance rewrite (it
+        adds no logical rows). Old files are vacuumed on the normal
+        horizon; time-travel reads below the rescale version still see
+        (and bucket-prune under) the old layout, because every read
+        derives the bucket expr from ITS snapshot's num_buckets."""
+        if int(new_num_buckets) < 1:
+            raise ValueError(f"new_num_buckets must be >= 1, got {new_num_buckets}")
+        new_num_buckets = int(new_num_buckets)
+
+        def attempt() -> int:
+            snap = self.snapshot()
+            if snap["num_buckets"] == new_num_buckets:
+                return snap["version"]
+            df = self._read_raw(version=snap["version"])
+            if snap.get("needs_collapse"):
+                df = self._collapse(df, snap)  # keeps tombstone winners
+            staged = {**snap, "num_buckets": new_num_buckets}
+            total = sum(f["rows"] for fl in snap["buckets"].values() for f in fl)
+            new_files = {
+                b: [{**f, "collapsed": True} for f in fs]
+                for b, fs in self._write_files(
+                    df,
+                    staged,
+                    snap["current_schema_id"],
+                    rows_hint=total or None,
+                    cluster_by_key=True,
+                ).items()
+            }
+            return self._commit_rewrite(
+                snap,
+                consumed={b: list(fs) for b, fs in snap["buckets"].items()},
+                replaced=new_files,
+                summary={
+                    "operation": "rescale",
+                    "from_buckets": snap["num_buckets"],
+                    "to_buckets": new_num_buckets,
+                },
+                extra_props={"num_buckets": new_num_buckets},
+            )
+
+        return self._retry_concurrent(attempt, "rescale")
 
     def purge_tombstones(self) -> int:
         """Drop retained delete tombstones. Safe once no replay older

@@ -12,6 +12,7 @@ Subcommands:
   generate   synthesize a deterministic Debezium-shaped event log
   replay     replay the log into a LakeTable (resumes from checkpoint)
   compact    run table maintenance (compaction + tombstone purge + vacuum)
+  rescale    bucket-count evolution (rewrite under bucket(N', key))
   rollback   roll a table back to an earlier snapshot (bad-batch recovery)
   describe   print table state (version, rows, files, deltas, checkpoints)
   fsck       consistency check: metadata graph vs data files (exit 1 on findings)
@@ -146,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
     fk.add_argument("--fault-rate", type=float, default=0.05)
     fk.add_argument("--fault-seed", type=int, default=0)
+
+    rs = sub.add_parser("rescale", help="bucket-count evolution: rewrite the table "
+                        "under bucket(N', key) — Iceberg partition-spec evolution for "
+                        "tables whose key-space outgrew the creation-time bucket count")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+    rs.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    rs.add_argument("--fault-rate", type=float, default=0.05)
+    rs.add_argument("--fault-seed", type=int, default=0)
 
     rb = sub.add_parser("rollback", help="roll the table back to an earlier snapshot "
                         "(bad-batch recovery; metadata-only, checkpoints roll back with the data)")
@@ -317,6 +327,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "version": new_v,
                 "rolled_back_to": args.to_version,
+                "rows": t.total_rows(),
+            }))
+
+        elif args.cmd == "rescale":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            old = t.snapshot()["num_buckets"]
+            new_v = t.rescale(args.buckets)
+            print(json.dumps({
+                "version": new_v,
+                "from_buckets": old,
+                "to_buckets": args.buckets,
                 "rows": t.total_rows(),
             }))
 

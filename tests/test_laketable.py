@@ -1588,3 +1588,126 @@ def test_fsck_detects_checkpoint_regression_and_orphans(spark, table):
     rep = table.fsck()
     assert rep["ok"]
     assert any("unreferenced" in w for w in rep["warnings"])
+
+
+# ----------------------------------------------------------------------
+# bucket-count evolution (rescale)
+# ----------------------------------------------------------------------
+
+
+def _bucket_of(url: str, spark, n: int) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n)).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def test_rescale_preserves_state_and_rebuckets(spark, table):
+    """rescale(N') is a pure layout change: rows identical, num_buckets
+    updated, every file's keys live in the bucket the NEW layout puts
+    them in (bucket-pruned reads stay correct), and time-travel below
+    the rescale still reads the OLD layout."""
+    table.merge(_batch(spark, [(f"u{j}", "t1", j, False) for j in range(20)]))
+    table.merge(_batch(spark, [("u3", "t2", 99, False), ("u7", None, 98, True)]))
+    before = sorted(tuple(r) for r in table.read().collect())
+    v_pre = table.current_version()
+
+    v = table.rescale(16)
+    snap = table.snapshot()
+    assert snap["num_buckets"] == 16 and snap["version"] == v
+    assert snap["summary"]["operation"] == "rescale"
+    assert snap["summary"]["from_buckets"] == 4 and snap["summary"]["to_buckets"] == 16
+    assert sorted(tuple(r) for r in table.read().collect()) == before
+    # every occupied bucket holds only keys that hash there under N'=16
+    for b in snap["buckets"]:
+        urls = [r["url"] for r in table.read(buckets=[int(b)], include_deleted=True).collect()]
+        assert urls and all(_bucket_of(u, spark, 16) == int(b) for u in urls)
+    # point lookups prune under the new layout
+    assert {r["url"] for r in table.read_keys(["u3", "u5"]).collect()} == {"u3", "u5"}
+    # time travel below the rescale uses the OLD bucket expr
+    old = sorted(tuple(r) for r in table.read(version=v_pre).collect())
+    assert old == before
+    # merges after the rescale land in (and prune to) new-layout buckets
+    table.merge(_batch(spark, [("u3", "t3", 100, False), ("zz", "tz", 101, False)]))
+    state = {r["url"]: r["text"] for r in table.read().collect()}
+    assert state["u3"] == "t3" and state["zz"] == "tz"
+    assert "u7" not in state
+
+
+def test_rescale_folds_mor_deltas_and_keeps_tombstones(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    t.merge(_batch(spark, [("a", "t2", 3, False), ("b", None, 4, True)]))
+    assert t.snapshot()["needs_collapse"] is True
+    t.rescale(8)
+    snap = t.snapshot()
+    assert snap["num_buckets"] == 8
+    assert snap["needs_collapse"] is False  # rescale LWW-folded the deltas
+    assert not snap["buckets"].get("*")     # no unbucketed deltas survive
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "t2"}
+    # the delete tombstone is RETAINED (idempotent replay still sees it)
+    dead = {r["url"] for r in t.read(include_deleted=True).collect()}
+    assert dead == {"a", "b"}
+
+
+def test_rescale_noop_and_validation(spark, table):
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))
+    v = table.current_version()
+    assert table.rescale(4) == v  # same count: no new commit
+    assert table.current_version() == v
+    with pytest.raises(ValueError):
+        table.rescale(0)
+
+
+def test_rescale_recomputes_on_concurrent_commit(spark, tmp_path):
+    """A rescale racing a live appender must NOT metadata-rebase (the
+    winner's files use the old layout) — it recomputes from the winner
+    and the final table carries both the rescale and the racer's rows."""
+    root = str(tmp_path / "race")
+    t = LakeTable.create(
+        spark, root, SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    calls = {"n": 0}
+    orig = t._write_files
+
+    def racing_write(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            LakeTable.load(spark, root).merge(_batch(spark, [("q", "tq", 9, False)]))
+        return orig(*a, **kw)
+
+    t._write_files = racing_write
+    try:
+        with pytest.warns(UserWarning, match="rescale lost a commit race"):
+            t.rescale(8)
+    finally:
+        del t._write_files
+    assert calls["n"] == 2  # full recompute, not a metadata rebase
+    snap = t.snapshot()
+    assert snap["num_buckets"] == 8
+    assert "rebased_onto" not in snap["summary"]
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {
+        "a": "t1", "b": "t1", "q": "tq"
+    }
+    for b in snap["buckets"]:
+        urls = [r["url"] for r in t.read(buckets=[int(b)], include_deleted=True).collect()]
+        assert all(_bucket_of(u, spark, 8) == int(b) for u in urls)
+
+
+def test_changes_skips_rescale_commit(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "c"), SCHEMA, key_col="url", num_buckets=2,
+        order_by=("__lsn",), merge_mode="mor", delta_layout="unbucketed",
+    )
+    t.merge(_batch(spark, [("a", "t1", 1, False)]))          # v1
+    t.rescale(4)                                              # v2 (maintenance)
+    t.merge(_batch(spark, [("b", "t2", 2, False)]))          # v3
+    ch = t.changes(0)
+    got = {(r["url"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {("a", 1), ("b", 3)}  # nothing attributed to the rescale
