@@ -18,7 +18,7 @@ Pass criteria (all asserted, exit 1 on any failure):
     onto the OTHER writer's snapshot) are observed — the additive
     rebase path, exercised for real across processes.
 
-Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky] [dlq]
+Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky] [dlq] [rescale]
 (storage=flaky layers ~5%-per-op injected transient faults + stale
 listings under SDK-style retries on top of the writer race — the
 double-adversarial configuration)
@@ -30,6 +30,13 @@ malformed events in BOTH writers' slices, and both writers share ONE
 concurrent captures never share a parquet _temporary staging dir;
 asserted: spools readable (no corruption), union == the injected
 malformed set, each offset spooled by the writer owning its slice.
+
+`rescale` mode (r6): the maintenance daemon additionally issues a
+bucket rescale 16 -> 64 against the live table mid-replay. The rescale
+commit is strictly non-rebaseable (a racer's files use the old
+layout), so under hot ingest it may exhaust recompute retries and get
+relaunched — the designed contention behavior; asserted: zero value
+diffs vs serial ever, final num_buckets == 64, deep fsck clean.
 
 Prints one JSON line with the soak metrics.
 """
@@ -58,7 +65,8 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     storage_name = sys.argv[3] if len(sys.argv) > 3 else "condput"
-    dlq_mode = len(sys.argv) > 4 and sys.argv[4] == "dlq"
+    dlq_mode = "dlq" in sys.argv[4:]
+    rescale_mode = "rescale" in sys.argv[4:]
 
     log = f"/tmp/writer-race-log-{n_pages}"
     serial_table = "/dev/shm/writer-race-serial"
@@ -163,9 +171,35 @@ def main() -> None:
 
     compactor_runs, compactor_errors = 0, []
     compactor: subprocess.Popen | None = None
+    # rescale mode: mid-replay, the maintenance daemon issues a bucket
+    # rescale 16 -> 64 against the table both writers are committing
+    # into. The rescale commit is strictly non-rebaseable, so under hot
+    # ingest it may exhaust its recompute retries and exit non-zero —
+    # that is the designed contention behavior, not corruption; the
+    # daemon relaunches it (attempts counted) and one post-drain attempt
+    # must land. Correctness bar: zero value diffs vs serial EVER, and
+    # final num_buckets == 64.
+    rescaler: subprocess.Popen | None = None
+    rescale_attempts, rescale_live_success = 0, False
+
+    def _launch_rescale() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_pipeline.py"),
+             "--master", "local[4]", "rescale", "--table", raced_table,
+             "--storage", storage_name, "--buckets", "64"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO,
+        )
+
     procs = {"wA": pa, "wB": pb}
     while any(p.poll() is None for p in procs.values()):
         poll_meta()
+        if rescaler is not None and rescaler.poll() is not None:
+            rescale_attempts += 1
+            rescale_live_success = rescale_live_success or rescaler.returncode == 0
+            rescaler = None
+        if (rescale_mode and rescaler is None and not rescale_live_success
+                and os.path.isdir(meta_dir)):
+            rescaler = _launch_rescale()
         if compactor is not None and compactor.poll() is not None:
             compactor_runs += 1
             if compactor.returncode != 0:
@@ -186,6 +220,23 @@ def main() -> None:
         compactor_runs += 1
         if compactor.returncode != 0:
             compactor_errors.append("tail compactor failed")
+    rescale_stats = {}
+    if rescale_mode:
+        if rescaler is not None:
+            rescaler.communicate()
+            rescale_attempts += 1
+            rescale_live_success = rescale_live_success or rescaler.returncode == 0
+        if not rescale_live_success:
+            # post-drain attempt: with the writers gone, only the tail
+            # compactor can race it — the internal retries absorb that
+            tail = _launch_rescale()
+            _, terr = tail.communicate()
+            rescale_attempts += 1
+            assert tail.returncode == 0, f"post-drain rescale failed: {terr.decode()[-2000:]}"
+        rescale_stats = {
+            "rescale_attempts": rescale_attempts,
+            "rescale_landed_under_live_ingest": rescale_live_success,
+        }
     poll_meta()
     raced_s = time.monotonic() - t0
 
@@ -273,7 +324,14 @@ def main() -> None:
         "rebased_commits": rebased_commits,
         "compact_commits": compact_commits,
         **dlq_stats,
+        **rescale_stats,
     }
+    if rescale_mode:
+        final = t.snapshot()
+        out["final_num_buckets"] = final["num_buckets"]
+        fsck = t.fsck(deep=True)
+        out["fsck_ok"] = fsck["ok"]
+        out["fsck_errors"] = fsck["errors"]
     shutil.rmtree(serial_table, ignore_errors=True)
     shutil.rmtree(raced_table, ignore_errors=True)
     shutil.rmtree(dlq_root, ignore_errors=True)
@@ -282,6 +340,8 @@ def main() -> None:
           and interleavings > 0)
     if dlq_mode:
         ok = ok and dlq_stats["dlq_no_loss"] and dlq_stats["dead_slices_correct"]
+    if rescale_mode:
+        ok = ok and out["final_num_buckets"] == 64 and out["fsck_ok"]
     if not ok:
         sys.exit(1)
 
