@@ -64,7 +64,11 @@ def sync_incremental(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    cur = src.current_version()
+    # sync to the PUBLISHED head: a staged (write-audit-publish) chain
+    # upstream must not propagate downstream before its publish
+    cur = src.published_version()
+    if cur is None:
+        cur = src.current_version()
     ck = dst.checkpoint() or {}
     since = ck.get("src_version", -1)
     if since == cur:

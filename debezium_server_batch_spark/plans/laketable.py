@@ -173,6 +173,10 @@ class LakeTable:
         # object-store backend (conditional-PUT claim) for S3-style
         # deployments — see plans/storage.py
         self.storage = storage if storage is not None else PosixStorage()
+        # write-audit-publish: handles returned by staging() set this —
+        # every commit they make carries staged=True and stays invisible
+        # to default reads until publish()
+        self._stage_commits = False
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -415,6 +419,13 @@ class LakeTable:
                 )
             base = self.snapshot(cur) if cur is not None else None
             snap = build(base)
+            # publish/rollback flip visibility by design — never staged,
+            # even when issued through a staging() handle
+            if self._stage_commits and (snap.get("summary") or {}).get("operation") not in (
+                "publish",
+                "rollback",
+            ):
+                snap["staged"] = True
             snap["version"] = (cur + 1) if cur is not None else 0
             snap["parent"] = cur
             # per-ATTEMPT uuid: lets an object-store claim() disambiguate
@@ -580,6 +591,7 @@ class LakeTable:
         collapse runs over the unpruned scan and the day range is applied
         to ROWS afterwards — correct point-in-range semantics at the cost
         of the pruning; compact() restores pruned time-slice reads."""
+        version = self._resolve_read_version(version)
         snap = self.snapshot(version)
         ts_col = snap.get("partition_ts_col")
         day_row_filter = None
@@ -633,6 +645,7 @@ class LakeTable:
         skipped too — multi-file buckets (day/salt splits) narrow to
         the few files that can hold the key.
         Composite keys: pass tuples in key-column order."""
+        version = self._resolve_read_version(version)
         snap = self.snapshot(version)
         key_cols = self._key_cols(snap)
         rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
@@ -1388,7 +1401,7 @@ class LakeTable:
     # operations whose added files carry NEW logical rows (a changelog
     # entry); maintenance rewrites re-emit existing rows and are skipped
     _CHANGE_OPS = ("create", "append", "merge-mor")
-    _REWRITE_OPS = ("compact", "compact-deltas", "purge-tombstones", "rescale")
+    _REWRITE_OPS = ("compact", "compact-deltas", "purge-tombstones", "rescale", "publish")
 
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read — the Iceberg incremental-scan
@@ -1418,9 +1431,12 @@ class LakeTable:
         the order-guard semantics exclude) would be missed.
         Maintenance commits (compaction, vacuum-expiry survivors,
         checkpoint-only) add no logical rows and are skipped; other
-        rewrites (unknown ops) still raise ValueError."""
-        cur = self.current_version()
-        to_version = cur if to_version is None else to_version
+        rewrites (unknown ops) still raise ValueError. Default
+        to_version is the PUBLISHED head (WAP gate) — followers never
+        propagate unaudited staged commits; publish commits in range
+        are skipped like any maintenance rewrite (their staged
+        predecessors carry the actual rows)."""
+        to_version = self._resolve_read_version(to_version)
         if since_version > to_version:
             raise ValueError(f"since_version {since_version} > to_version {to_version}")
         current = self.schema(self.snapshot(to_version))
@@ -1937,6 +1953,102 @@ class LakeTable:
             "deep_files_verified": deep_checked,
         }
 
+    # ------------------------------------------------------------------
+    # write-audit-publish (WAP)
+    # ------------------------------------------------------------------
+
+    def staging(self) -> "LakeTable":
+        """Handle whose commits are STAGED — Iceberg's write-audit-
+        publish pattern (`wap.id` branches, minimally). Ingest through
+        the staged handle as usual (merge/append/checkpoints all work;
+        the staging writer's own reads of the head chain see its staged
+        data, so multi-batch LWW stays correct), run audits against
+        `read(version=current_version())`, then `publish()` to flip the
+        whole chain visible to default readers atomically — or
+        `discard_staged()` to drop it (rollback semantics: checkpoints
+        roll back too, so a clean re-ingest resumes from the published
+        floor). Default `read()/read_keys()/changes()` resolve to the
+        latest PUBLISHED snapshot, so downstream consumers and chained
+        followers never see unaudited data. Don't mix staged and
+        unstaged writers on one table — the audit gate is only as
+        meaningful as the staging discipline."""
+        h = LakeTable(self.spark, self.root, storage=self.storage)
+        h._stage_commits = True
+        return h
+
+    def _header(self, version: int) -> dict:
+        """Raw snapshot header (no manifest inflation) — cheap staged/
+        published probes."""
+        return json.loads(
+            self.storage.read_text(os.path.join(self._meta_dir(), f"v{version:08d}.json"))
+        )
+
+    def published_version(self) -> int | None:
+        """Latest retained snapshot NOT carrying the staged flag — what
+        default readers resolve to. Equals current_version() on tables
+        never written through a staging() handle."""
+        for v in sorted(self.versions(), reverse=True):
+            if not self._header(v).get("staged"):
+                return v
+        return None
+
+    def _resolve_read_version(self, version: int | None) -> int | None:
+        """None → the published head (WAP gate); explicit versions pass
+        through (time travel into a staged chain stays possible — that
+        IS the audit surface)."""
+        if version is not None:
+            return version
+        cur = self.current_version()
+        if cur is None or not self._header(cur).get("staged"):
+            return cur
+        pv = self.published_version()
+        if pv is None:
+            raise FileNotFoundError(
+                f"table at {self.root} has only STAGED snapshots retained — "
+                "publish() or discard_staged() first, or read an explicit version"
+            )
+        return pv
+
+    def publish(self) -> int:
+        """Make every staged commit up to the current head visible to
+        default readers in ONE metadata-only commit (no Spark job, no
+        file movement — the Iceberg fast-forward publish). No-op when
+        the head is already published. Not rebaseable: racing a live
+        staged writer would publish a moving target; losing the claim
+        raises ConcurrentCommitError for an explicit retry decision."""
+        cur = self.current_version()
+        head = self.snapshot(cur)
+        if not head.get("staged"):
+            return cur
+
+        def build(base: dict) -> dict:
+            return {
+                **self._carry(head),
+                "schemas": dict(head["schemas"]),
+                "current_schema_id": head["current_schema_id"],
+                "buckets": {b: list(fs) for b, fs in head["buckets"].items()},
+                "checkpoint": head.get("checkpoint"),
+                "checkpoints": dict(head.get("checkpoints") or {}),
+                "lineage": [],
+                "summary": {"operation": "publish", "published_through": cur},
+            }
+
+        return self._commit(build, rebaseable=False, expected_base=cur)
+
+    def discard_staged(self) -> int:
+        """Drop the staged chain: rollback to the published floor.
+        Checkpoints roll back with the data (rollback contract), so the
+        next staged ingest re-replays the discarded windows instead of
+        silently skipping them."""
+        pv = self.published_version()
+        if pv is None:
+            raise FileNotFoundError(
+                f"table at {self.root} has no published snapshot to discard back to"
+            )
+        if pv == self.current_version():
+            return pv
+        return self.rollback(pv)
+
     def rollback(self, to_version: int) -> int:
         """Roll the table's CURRENT state back to `to_version` by
         committing a NEW snapshot whose data files, schema catalog, and
@@ -2006,6 +2118,12 @@ class LakeTable:
         if cur is None:
             return []
         horizon = max(0, cur - keep_last + 1)
+        # never expire the published floor out from under a staged chain
+        # — default readers resolve there (no-op on non-WAP tables:
+        # published == current >= horizon)
+        pv = self.published_version()
+        if pv is not None:
+            horizon = min(horizon, pv)
         expiring = [v for v in self.versions() if v < horizon]
         keep = [v for v in self.versions() if v >= horizon]
         live: set[str] = set()

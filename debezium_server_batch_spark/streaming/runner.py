@@ -176,6 +176,13 @@ class PipelineConfig:
     # None still excludes null-key rows from merges; it just doesn't
     # capture them.
     dead_letter: str | None = None
+    # write-audit-publish: every commit this pipeline makes (merges,
+    # checkpoints, auto-compaction) is STAGED — invisible to default
+    # readers and chained followers until LakeTable.publish() (CLI
+    # `publish`) flips the chain visible atomically. Audit the staged
+    # state via read(version=current_version()); discard_staged()
+    # drops it with checkpoint co-rollback. LakeTable sink only.
+    wap: bool = False
 
 
 @dataclass
@@ -260,10 +267,18 @@ class CdcPipeline:
 
         return os.path.join(self.cfg.table_root, _re.sub(r"[^A-Za-z0-9_.\-]", "_", name))
 
+    def _staged(self, t: LakeTable | None) -> LakeTable | None:
+        """WAP mode: every handle the pipeline commits through is a
+        staging() handle — merges, checkpoint-only commits, and
+        auto-compaction all stay invisible until publish(). An unstaged
+        checkpoint-only commit would be a silent publish (its snapshot
+        carries the staged head's buckets), hence the blanket wrap."""
+        return t.staging() if (t is not None and self.cfg.wap) else t
+
     def _table(self, schema=None, destination: str | None = None, key=None) -> LakeTable | None:
         root = self._root_for(destination)
         if LakeTable.exists(root, storage=self.storage):
-            return LakeTable.load(self.spark, root, storage=self.storage)
+            return self._staged(LakeTable.load(self.spark, root, storage=self.storage))
         if schema is None:
             return None
         if key is None:
@@ -274,7 +289,9 @@ class CdcPipeline:
         from ..plans.laketable import ConcurrentCommitError
 
         try:
-            return LakeTable.create(
+            # the CREATE commit itself stays unstaged even in WAP mode —
+            # the empty table is the published floor audits diff against
+            return self._staged(LakeTable.create(
                 self.spark,
                 root,
                 schema=schema,
@@ -285,11 +302,11 @@ class CdcPipeline:
                 partition_ts_col=self.cfg.partition_ts_col,
                 delta_layout=self.cfg.delta_layout,
                 storage=self.storage,
-            )
+            ))
         except ConcurrentCommitError:
             # two writers raced on CREATE TABLE; the claim serialized
             # them — adopt the winner's table
-            return LakeTable.load(self.spark, root, storage=self.storage)
+            return self._staged(LakeTable.load(self.spark, root, storage=self.storage))
 
     def _all_tables(self) -> list[LakeTable]:
         # destination discovery through the storage layer (NOT raw
@@ -303,7 +320,7 @@ class CdcPipeline:
         if not self.storage.isdir(root):
             return []
         return [
-            LakeTable.load(self.spark, os.path.join(root, d), storage=self.storage)
+            self._staged(LakeTable.load(self.spark, os.path.join(root, d), storage=self.storage))
             for d in sorted(self.storage.listdir(root))
             if LakeTable.exists(os.path.join(root, d), storage=self.storage)
         ]
@@ -862,9 +879,9 @@ class CdcPipeline:
         if ckpt_barrier:
             for root in sorted(set(roots)):
                 if LakeTable.exists(root, storage=self.storage):
-                    LakeTable.load(self.spark, root, storage=self.storage).commit_checkpoint(
-                        checkpoint
-                    )
+                    self._staged(
+                        LakeTable.load(self.spark, root, storage=self.storage)
+                    ).commit_checkpoint(checkpoint)
                     self._slotted_roots.add(root)
 
         # destinations with no events this window (or empty window):

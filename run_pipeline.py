@@ -12,6 +12,7 @@ Subcommands:
   generate   synthesize a deterministic Debezium-shaped event log
   replay     replay the log into a LakeTable (resumes from checkpoint)
   compact    run table maintenance (compaction + tombstone purge + vacuum)
+  publish    write-audit-publish gate (make staged commits visible / --discard)
   rescale    bucket-count evolution (rewrite under bucket(N', key))
   rollback   roll a table back to an earlier snapshot (bad-batch recovery)
   describe   print table state (version, rows, files, deltas, checkpoints)
@@ -89,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="DLQ spool path: raw rows of events whose merge key parses "
                    "to null (malformed envelopes) are appended here as parquet; "
                    "they are excluded from merges either way")
+    r.add_argument("--wap", action="store_true",
+                   help="write-audit-publish: stage every commit (merges, checkpoints, "
+                   "auto-compaction) invisibly; run audits, then `publish` to flip "
+                   "visible, or `publish --discard` to drop the staged chain")
     r.add_argument("--log-format", default="parquet", choices=["parquet", "json"],
                    help="event-log source format (json = jsonlines spool, S6)")
     r.add_argument("--sink", default="laketable", choices=["laketable", "files"],
@@ -147,6 +152,16 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
     fk.add_argument("--fault-rate", type=float, default=0.05)
     fk.add_argument("--fault-seed", type=int, default=0)
+
+    pub = sub.add_parser("publish", help="write-audit-publish gate: make the staged "
+                         "chain visible to default readers (one metadata-only commit), "
+                         "or --discard it (rollback to the published floor, checkpoints "
+                         "co-roll so re-ingest re-replays the discarded windows)")
+    pub.add_argument("--table", required=True)
+    pub.add_argument("--discard", action="store_true")
+    pub.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    pub.add_argument("--fault-rate", type=float, default=0.05)
+    pub.add_argument("--fault-seed", type=int, default=0)
 
     rs = sub.add_parser("rescale", help="bucket-count evolution: rewrite the table "
                         "under bucket(N', key) — Iceberg partition-spec evolution for "
@@ -231,6 +246,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_buckets=args.buckets,
                 metrics_path=args.metrics,
                 dead_letter=args.dead_letter,
+                wap=args.wap,
                 merge_mode=args.merge_mode,
                 delta_layout=args.delta_layout,
                 compact_every=args.compact_every,
@@ -301,6 +317,8 @@ def main(argv: list[str] | None = None) -> int:
                 "checkpoint": snap.get("checkpoint"),
                 "checkpoint_writers": sorted((snap.get("checkpoints") or {}).keys()),
                 "retained_versions": t.versions(),
+                "staged_head": bool(snap.get("staged")),
+                "published_version": t.published_version(),
             }))
 
         elif args.cmd == "fsck":
@@ -327,6 +345,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "version": new_v,
                 "rolled_back_to": args.to_version,
+                "rows": t.total_rows(),
+            }))
+
+        elif args.cmd == "publish":
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            staged_from = t.published_version()
+            v = t.discard_staged() if args.discard else t.publish()
+            print(json.dumps({
+                "version": v,
+                "published_floor_before": staged_from,
+                "discarded": bool(args.discard),
                 "rows": t.total_rows(),
             }))
 
