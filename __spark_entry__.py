@@ -773,6 +773,54 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BUCKET-COUNT EVOLUTION + WRITE-AUDIT-PUBLISH through
+    the table format: land half the ledger published, stage the second
+    half through a staging() handle (invisible to default reads until
+    publish — asserted), publish, then rescale the table 4 → 16 buckets
+    (one committed key-clustered rewrite under the new layout) and
+    aggregate a default read. The oracle recomputes the same aggregate
+    from the raw parquet, so append → stage → publish → rescale → read
+    is equality-checked: the layout change must be invisible to query
+    results."""
+    import shutil
+    import tempfile
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("date")
+    first = ev.filter(F.to_date(F.col("ts")) < cut)
+    second = ev.filter(F.to_date(F.col("ts")) >= cut)
+    workdir = tempfile.mkdtemp(prefix="dsbs-rescale-")
+    try:
+        t = LakeTable.create(
+            spark,
+            os.path.join(workdir, "ledger"),
+            schema=ev.schema,
+            key_col="event_id",
+            num_buckets=4,
+            order_by=("event_id",),
+        )
+        t.append(first, rows_hint=first.count())
+        n_published = t.read().count()
+        t.staging().append(second, rows_hint=second.count())
+        # the staged half is invisible to default reads until publish
+        assert t.read().count() == n_published, "staged append leaked into default read"
+        t.publish()
+        t.rescale(16)
+        assert t.snapshot()["num_buckets"] == 16
+        out = t.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -814,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cdc_time_slice": q_cdc_time_slice,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_rescale": q_cdc_rescale,
     }
 
 
@@ -1500,6 +1549,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+            GROUP BY event_type
+        """,
+        "cdc_rescale": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
             GROUP BY event_type
         """,
         "asof_join_orders": """

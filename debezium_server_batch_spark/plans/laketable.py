@@ -420,11 +420,15 @@ class LakeTable:
             base = self.snapshot(cur) if cur is not None else None
             snap = build(base)
             # publish/rollback flip visibility by design — never staged,
-            # even when issued through a staging() handle
-            if self._stage_commits and (snap.get("summary") or {}).get("operation") not in (
-                "publish",
-                "rollback",
-            ):
+            # even when issued through a staging() handle. The flag is
+            # STICKY on everything else: a commit whose base head is
+            # staged inherits it even through a plain handle — otherwise
+            # an unstaged maintenance run (CLI compact, a checkpoint)
+            # against a staged chain would land as the published head
+            # and silently publish unaudited data.
+            if (self._stage_commits or bool((base or {}).get("staged"))) and (
+                snap.get("summary") or {}
+            ).get("operation") not in ("publish", "rollback"):
                 snap["staged"] = True
             snap["version"] = (cur + 1) if cur is not None else 0
             snap["parent"] = cur

@@ -183,3 +183,23 @@ def test_wap_cli_discard_then_clean_reingest(spark, tmp_path):
         "--buckets", "4",
     ]) == 0
     assert LakeTable.load(spark, troot).read().count() > 0
+
+
+def test_staged_flag_sticky_through_plain_handle_maintenance(spark, table):
+    """Maintenance through a PLAIN handle on a staged chain must not
+    silently publish it: the staged flag is sticky — only publish()
+    (or rollback) produces an unstaged snapshot on a staged head."""
+    stage = table.staging()
+    stage.merge(_batch(spark, [("a", "t1", 1, False), ("b", "t1", 2, False)]))
+    stage.merge(_batch(spark, [("a", "t2", 3, False)]))
+    table.compact()  # plain handle, CLI-maintenance shape
+    snap = table.snapshot()
+    assert snap["summary"]["operation"] == "compact"
+    assert snap["staged"] is True          # inherited, not published
+    assert table.read().count() == 0       # still invisible
+    assert table.published_version() == 0
+    # even a plain-handle checkpoint-only commit stays on the branch
+    table.commit_checkpoint({"offset_hi": 7})
+    assert table.snapshot()["staged"] is True
+    table.publish()
+    assert {r["url"]: r["text"] for r in table.read().collect()} == {"a": "t2", "b": "t1"}

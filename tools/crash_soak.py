@@ -11,7 +11,7 @@ attempt stay unreferenced orphans, the checkpoint only advances with
 its window's data, and the order-guarded merge makes every re-delivered
 window a no-op.
 
-Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8] [storage=posix|condput|flaky] [dlq]
+Usage: python tools/crash_soak.py [n_pages=20000] [kill_after_s=18] [cores=8] [storage=posix|condput|flaky] [dlq] [wap]
 (kill windows must exceed JVM boot (~10 s) or no attempt makes progress;
 flaky = condput + ~5%-per-op injected transient faults and stale
 listings under SDK-style retries — SIGKILLs land on an already-degraded
@@ -53,7 +53,12 @@ def main() -> None:
     kill_after = float(sys.argv[2]) if len(sys.argv) > 2 else 18.0
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     storage_name = sys.argv[4] if len(sys.argv) > 4 else "posix"
-    dlq_mode = len(sys.argv) > 5 and sys.argv[5] == "dlq"
+    dlq_mode = "dlq" in sys.argv[5:]
+    # wap mode: the whole crash-soaked ingest runs STAGED (--wap); every
+    # kill and resume happens on the invisible chain, default reads must
+    # stay at the empty published floor throughout, and one publish at
+    # the end must flip the oracle-exact state visible atomically
+    wap_mode = "wap" in sys.argv[5:]
 
     log = f"/tmp/crash-soak-log-{n_pages}"
     table = "/dev/shm/crash-soak-table"
@@ -109,6 +114,8 @@ def main() -> None:
                "--batch-events", "4000", "--buckets", "16", "--compact-every", "5"]
         if dlq_mode:
             cmd += ["--dead-letter", dlq]
+        if wap_mode:
+            cmd += ["--wap"]
         p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO, env=env)
         try:
             out, err = p.communicate(timeout=timeout)
@@ -194,6 +201,19 @@ def main() -> None:
 
     spark = build_session(master=f"local[{cores}]", shuffle_partitions=cores)
     t = LakeTable.load(spark, table)
+    wap_stats = {}
+    if wap_mode:
+        # the drained, kill-scarred chain is still fully staged: default
+        # readers never saw a row of it
+        staged_invisible = t.read().count() == 0 and bool(t.snapshot().get("staged"))
+        pub = subprocess.run(
+            [sys.executable, os.path.join(REPO, "run_pipeline.py"),
+             "--master", f"local[{cores}]", "publish", "--table", table,
+             "--storage", storage_name],
+            capture_output=True, cwd=REPO,
+        )
+        assert pub.returncode == 0, f"publish failed: {pub.stderr.decode()[-2000:]}"
+        wap_stats = {"wap": True, "staged_invisible_before_publish": staged_invisible}
     final_rows = t.read().count()
     # structural integrity after the kills, BEFORE vacuum touches
     # anything: deep fsck opens every referenced parquet footer
@@ -229,6 +249,7 @@ def main() -> None:
         "fsck_deep_files": fsck_rep["deep_files_verified"],
         "orphan_files_reclaimed": orphans,
         **dlq_stats,
+        **wap_stats,
     }
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(dlq, ignore_errors=True)
@@ -236,6 +257,8 @@ def main() -> None:
     ok = out["exact_match"] and out["fsck_ok"] and kills > 0
     if dlq_mode:
         ok = ok and dlq_stats["no_loss"] and failpoint_kills > 0
+    if wap_mode:
+        ok = ok and wap_stats["staged_invisible_before_publish"]
     if not ok:
         sys.exit(1)
 
