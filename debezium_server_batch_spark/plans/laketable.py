@@ -595,8 +595,13 @@ class LakeTable:
         collapse runs over the unpruned scan and the day range is applied
         to ROWS afterwards — correct point-in-range semantics at the cost
         of the pruning; compact() restores pruned time-slice reads."""
-        version = self._resolve_read_version(version)
+        # WAP gate with a zero-cost fast path: the head snapshot is
+        # loaded either way; only a STAGED head pays the walk back to
+        # the published floor
         snap = self.snapshot(version)
+        if version is None and snap.get("staged"):
+            snap = self._published_snapshot_or_raise()
+        version = snap["version"]
         ts_col = snap.get("partition_ts_col")
         day_row_filter = None
         if days is not None and snap.get("needs_collapse") and ts_col:
@@ -649,8 +654,10 @@ class LakeTable:
         skipped too — multi-file buckets (day/salt splits) narrow to
         the few files that can hold the key.
         Composite keys: pass tuples in key-column order."""
-        version = self._resolve_read_version(version)
         snap = self.snapshot(version)
+        if version is None and snap.get("staged"):
+            snap = self._published_snapshot_or_raise()
+        version = snap["version"]
         key_cols = self._key_cols(snap)
         rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
         if not rows:
@@ -1996,10 +2003,21 @@ class LakeTable:
                 return v
         return None
 
+    def _published_snapshot_or_raise(self) -> dict:
+        pv = self.published_version()
+        if pv is None:
+            raise FileNotFoundError(
+                f"table at {self.root} has only STAGED snapshots retained — "
+                "publish() or discard_staged() first, or read an explicit version"
+            )
+        return self.snapshot(pv)
+
     def _resolve_read_version(self, version: int | None) -> int | None:
         """None → the published head (WAP gate); explicit versions pass
         through (time travel into a staged chain stays possible — that
-        IS the audit surface)."""
+        IS the audit surface). read()/read_keys() inline this check on
+        their already-loaded head snapshot (zero extra I/O on the
+        unstaged fast path); this helper serves changes()."""
         if version is not None:
             return version
         cur = self.current_version()
