@@ -773,6 +773,32 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality rank (fixed-iteration PageRank variant) over
+    a deterministic synthetic link graph: every doc links to its 3
+    affine neighbours ((doc_id*7 + k*13 + 1) mod N, self-loops
+    dropped). The oracle unrolls the same 3 iterations as SQL CTEs —
+    decimal-summed contributions make the ranks bit-identical across
+    engines. Top-20 by (rank desc, doc_id) — the keep-list head."""
+    from debezium_server_batch_spark.operators.crawl import link_rank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    d = F.col("doc_id")
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    edges = (
+        docs.crossJoin(ks)
+        .select(d.alias("src"), ((d * 7 + F.col("k") * 13 + 1) % F.lit(n)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = link_rank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .select(F.col("id").alias("doc_id"), "rank")
+    )
+
+
 def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BUCKET-COUNT EVOLUTION + WRITE-AUDIT-PUBLISH through
     the table format: land half the ledger published, stage the second
@@ -863,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_slice": q_cdc_time_slice,
         "cdc_changelog": q_cdc_changelog,
         "cdc_rescale": q_cdc_rescale,
+        "link_rank": q_link_rank,
     }
 
 
@@ -1550,6 +1577,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
             GROUP BY event_type
+        """,
+        "link_rank": """
+            WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            edges AS (
+              SELECT d.doc_id AS src,
+                     (d.doc_id * 7 + t.k * 13 + 1) % (SELECT n FROM nn) AS dst
+              FROM documents d, (VALUES (1), (2), (3)) AS t(k)
+              WHERE (d.doc_id * 7 + t.k * 13 + 1) % (SELECT n FROM nn) != d.doc_id
+            ),
+            outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+              )
+            ),
+            r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+            it1 AS (
+              SELECT n.id,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                       COALESCE(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(CAST(r.rank / o.odeg AS DECIMAL(38,18))) AS s
+                FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            ),
+            it2 AS (
+              SELECT n.id,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                       COALESCE(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(CAST(r.rank / o.odeg AS DECIMAL(38,18))) AS s
+                FROM edges e JOIN it1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            ),
+            it3 AS (
+              SELECT n.id,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                       COALESCE(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(CAST(r.rank / o.odeg AS DECIMAL(38,18))) AS s
+                FROM edges e JOIN it2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            )
+            SELECT id AS doc_id, ROUND(rank, 9) AS rank
+            FROM it3 ORDER BY rank DESC, id LIMIT 20
         """,
         "cdc_rescale": """
             SELECT event_type,

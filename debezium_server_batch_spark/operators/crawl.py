@@ -184,3 +184,66 @@ def cap_per_host(
         .drop("_rk")
     )
     return capped.unionByName(df.filter(F.col(host_col).isNull()))
+
+
+def link_rank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link-graph quality rank over a (src, dst) edge table — the
+    classic web-corpus curation signal (pages many pages point at are
+    likelier to be worth keeping), as a FIXED-ITERATION PageRank
+    variant:
+
+        rank_0(v)     = 1.0
+        rank_{t+1}(v) = (1-d) + d * sum_{(u,v) in E} rank_t(u) / outdeg(u)
+
+    The unnormalized form of the original formulation: deterministic,
+    needs no global node count, and every step is SQL-mirrorable, so
+    the driver oracle equality-checks it end-to-end. Dangling nodes
+    (no out-edges) simply contribute nothing — the variant's documented
+    simplification; nodes with no in-edges settle at (1-d).
+
+    Distributed shape: outdeg is computed ONCE (one shuffle); each
+    iteration is one equi-join edges⋈ranks on src (ranks is O(V) —
+    broadcastable when V is small, AQE decides) plus one hash-aggregate
+    by dst with map-side partial aggregation. Iterations are a FIXED
+    small constant (3 captures the quality ordering; this is a corpus
+    signal, not a convergence exercise), so the lineage stays shallow —
+    no checkpointing needed. Per-node contributions are summed as
+    DECIMAL(38,18) after the double division: decimal addition is
+    associative, so the sum — and therefore the rank — is bit-identical
+    across engines and partitionings (same trick as the bench's
+    sum_value columns); every other step is pointwise IEEE arithmetic.
+
+    Returns (id, rank) for every node, rank rounded to 9 decimals.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_odeg"))
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "_s"), "_s")
+            .join(outdeg, "_s")
+            .select(
+                F.col("_d").alias("id"),
+                (F.col("rank") / F.col("_odeg")).cast("decimal(38,18)").alias("_c"),
+            )
+        )
+        summed = contrib.groupBy("id").agg(F.sum("_c").alias("_sum"))
+        ranks = nodes.join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_sum").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 9).alias("rank"))

@@ -2,6 +2,7 @@
 fetch per canonical url, per-host rollups, incremental admission dedup.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from debezium_server_batch_spark.operators.crawl import (
@@ -154,3 +155,48 @@ def test_cap_per_host_semantics_and_plan(spark):
     )
     kept = {r["doc_id"] for r in cap_per_host(ties, 2, order_by=("quality",)).collect()}
     assert kept == {0, 1}
+
+
+def test_link_rank_hand_computed_triangle(spark):
+    """3-cycle a→b→c→a plus a dangling-in node: every node has outdeg 1,
+    so rank_{t+1}(v) = 0.15 + 0.85 * rank_t(pred). On the symmetric
+    cycle every iterate stays equal across a,b,c and converges toward
+    1.0; node d (in-edge only from nowhere, out-edge to a) keeps rank
+    0.15 after iteration 1 and stays there."""
+    from debezium_server_batch_spark.operators.crawl import link_rank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], ["src", "dst"]
+    )
+    got = {r["id"]: r["rank"] for r in link_rank(edges, iterations=3).collect()}
+    # hand-rolled: r0 = 1 everywhere
+    r = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    for _ in range(3):
+        r = {
+            "a": 0.15 + 0.85 * (r["c"] + r["d"]),
+            "b": 0.15 + 0.85 * r["a"],
+            "c": 0.15 + 0.85 * r["b"],
+            "d": 0.15,  # no in-edges
+        }
+    for k in r:
+        assert got[k] == pytest.approx(r[k], abs=1e-9), k
+    # the in-link pulse from a's 2 in-edges has traveled a→b→c by
+    # iteration 3 (fixed-iteration semantics, not the fixpoint); the
+    # no-in-edge node is always the floor
+    assert got["c"] == max(got.values()) and got["d"] == min(got.values())
+
+
+def test_link_rank_deterministic_across_partitionings(spark):
+    """Decimal-summed contributions make the ranks bit-identical no
+    matter how the edges are partitioned (the cross-engine-parity
+    property the oracle relies on)."""
+    from debezium_server_batch_spark.operators.crawl import link_rank
+
+    n = 200
+    rows = [(i, (i * 7 + k * 13 + 1) % n) for i in range(n) for k in (1, 2, 3)]
+    rows = [r for r in rows if r[0] != r[1]]
+    e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+    e2 = spark.createDataFrame(list(reversed(rows)), ["src", "dst"]).repartition(17, "dst")
+    r1 = sorted(map(tuple, link_rank(e1).collect()))
+    r2 = sorted(map(tuple, link_rank(e2).collect()))
+    assert r1 == r2  # bit-identical, not approx
