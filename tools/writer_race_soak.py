@@ -18,7 +18,7 @@ Pass criteria (all asserted, exit 1 on any failure):
     onto the OTHER writer's snapshot) are observed — the additive
     rebase path, exercised for real across processes.
 
-Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky] [dlq] [rescale]
+Usage: python tools/writer_race_soak.py [n_pages=20000] [cores=8] [storage=condput|flaky] [dlq] [rescale] [wap]
 (storage=flaky layers ~5%-per-op injected transient faults + stale
 listings under SDK-style retries on top of the writer race — the
 double-adversarial configuration)
@@ -67,6 +67,12 @@ def main() -> None:
     storage_name = sys.argv[3] if len(sys.argv) > 3 else "condput"
     dlq_mode = "dlq" in sys.argv[4:]
     rescale_mode = "rescale" in sys.argv[4:]
+    # wap mode: BOTH writers replay --wap (fully staged chain, per-writer
+    # checkpoint slots living inside it), the live compactor keeps
+    # folding the staged chain (sticky flag), and ONE publish after the
+    # drain must flip the serial-exact state visible; asserted: default
+    # reads stayed at the empty floor through the whole race
+    wap_mode = "wap" in sys.argv[4:]
 
     log = f"/tmp/writer-race-log-{n_pages}"
     serial_table = "/dev/shm/writer-race-serial"
@@ -128,6 +134,8 @@ def main() -> None:
 
     def writer(wid: str, extra: list[str]) -> subprocess.Popen:
         dlq_args = ["--dead-letter", dlq_root] if dlq_mode else []
+        if wap_mode:
+            extra = [*extra, "--wap"]
         return subprocess.Popen(
             [sys.executable, os.path.join(REPO, "run_pipeline.py"),
              "--master", f"local[{cores}]", "replay", "--log", log,
@@ -248,6 +256,20 @@ def main() -> None:
         outs[wid] = json.loads(lines[-1])
 
     # ---- verification -------------------------------------------------
+    wap_stats = {}
+    if wap_mode:
+        rt = LakeTable.load(spark, raced_table)
+        wap_stats["staged_invisible_before_publish"] = (
+            rt.read().count() == 0 and bool(rt.snapshot().get("staged"))
+        )
+        pub = subprocess.run(
+            [sys.executable, os.path.join(REPO, "run_pipeline.py"),
+             "--master", f"local[{cores}]", "publish", "--table", raced_table,
+             "--storage", storage_name],
+            capture_output=True, cwd=REPO,
+        )
+        assert pub.returncode == 0, f"publish failed: {pub.stderr.decode()[-2000:]}"
+        wap_stats["wap"] = True
     a = LakeTable.load(spark, serial_table).read()
     b = LakeTable.load(spark, raced_table).read()
     cols = sorted(set(a.columns) & set(b.columns))
@@ -325,6 +347,7 @@ def main() -> None:
         "compact_commits": compact_commits,
         **dlq_stats,
         **rescale_stats,
+        **wap_stats,
     }
     if rescale_mode:
         final = t.snapshot()
@@ -342,6 +365,8 @@ def main() -> None:
         ok = ok and dlq_stats["dlq_no_loss"] and dlq_stats["dead_slices_correct"]
     if rescale_mode:
         ok = ok and out["final_num_buckets"] == 64 and out["fsck_ok"]
+    if wap_mode:
+        ok = ok and wap_stats["staged_invisible_before_publish"]
     if not ok:
         sys.exit(1)
 
