@@ -2090,7 +2090,18 @@ class LakeTable:
 
         Not rebaseable: rollback must not race a live ingester (the
         racer's new data would be silently undone); losing the claim
-        raises ConcurrentCommitError for an explicit retry decision."""
+        raises ConcurrentCommitError for an explicit retry decision.
+
+        The target's WAP staged flag travels with its data: rolling
+        back INTO a staged chain yields a staged head (the chain is
+        still unaudited — publish() is still required), while
+        discard_staged()'s rollback to the published floor stays
+        unstaged. Without this, rollback(v) to a mid-chain staged
+        version would re-commit its unaudited buckets as the published
+        head — a silent publish bypassing the audit gate (the commit-
+        time injection exempts operation='rollback' precisely so the
+        DISCARD direction can step below a staged base, so the flag
+        must come from the target itself)."""
         cur = self.current_version()
         target = self.snapshot(to_version)  # raises if expired/unknown
         if to_version == cur:
@@ -2098,6 +2109,7 @@ class LakeTable:
 
         def build(base: dict) -> dict:
             return {
+                **({"staged": True} if target.get("staged") else {}),
                 **self._carry(target),
                 "schemas": dict(target["schemas"]),
                 "current_schema_id": target["current_schema_id"],

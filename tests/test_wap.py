@@ -109,6 +109,33 @@ def test_changes_and_follower_gate_on_published(spark, tmp_path, table):
     assert {x["url"] for x in dst.read().collect()} == {"a", "b"}
 
 
+def test_rollback_into_staged_chain_stays_staged(spark, table):
+    """rollback(v) to a mid-chain STAGED version must not silently
+    publish it: the target's staged flag travels with its data, so the
+    head stays invisible to default readers and publish() is still the
+    only way to flip visibility."""
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))  # published v1
+    stage = table.staging()
+    stage.merge(_batch(spark, [("b", "t2", 2, False)]))  # staged v2
+    stage.merge(_batch(spark, [("c", "t3", 3, False)]))  # staged v3
+    v = table.rollback(2)  # undo the c-batch, stay inside the chain
+    assert table.snapshot(v)["staged"] is True
+    # default readers still gate on the published floor
+    assert {r["url"] for r in table.read().collect()} == {"a"}
+    assert table.published_version() == 1
+    # the audit surface shows the rolled-back staged state
+    assert {r["url"] for r in table.read(version=v).collect()} == {"a", "b"}
+    # and publish is still required (and sufficient) to flip it
+    pv = table.publish()
+    assert {r["url"] for r in table.read().collect()} == {"a", "b"}
+    assert table.published_version() == pv
+    # discard direction unchanged: rollback to the floor stays unstaged
+    table.staging().merge(_batch(spark, [("d", "t4", 4, False)]))
+    dv = table.discard_staged()
+    assert not table.snapshot(dv).get("staged")
+    assert {r["url"] for r in table.read().collect()} == {"a", "b"}
+
+
 def test_vacuum_retains_published_floor(spark, table):
     table.merge(_batch(spark, [("a", "t1", 1, False)]))  # published v1
     stage = table.staging()
