@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame
 
 from ..operators.dedup import lww_agg
-from .laketable import LakeTable
+from .laketable import LakeTable, RollbackBeyondCheckpointError
 
 
 def sync_incremental(
@@ -94,6 +94,37 @@ def sync_incremental(
             # coordinate purge with follower lag).
             df = src.read(version=cur, include_deleted=True)
             bootstrap = True
+        except RollbackBeyondCheckpointError as e:
+            # upstream rolled back BELOW our consumed floor (bad-batch
+            # recovery, or a WAP discard deeper than the last publish we
+            # synced): rows this follower already merged were undone, and
+            # a re-read can't tombstone them (rollback undoes INSERTS —
+            # there are no delete events to replay). The destination's
+            # own history carries the fix: every sync tick committed its
+            # consumed src_version atomically with its data, so roll dst
+            # back to the newest snapshot consumed at-or-below the
+            # rollback target (checkpoints co-roll by the rollback
+            # contract) and re-sync from there — by induction the retry
+            # either succeeds or hits a strictly older rollback and
+            # recurses deeper. O(dst metadata) + the replayed window.
+            floor = None
+            for v in sorted(dst.versions(), reverse=True):
+                c = dst._header(v).get("checkpoint") or {}
+                if c.get("src_version", -1) <= e.target:
+                    floor = v
+                    break
+            if floor is None:
+                raise RollbackBeyondCheckpointError(
+                    f"upstream rolled back to v{e.target} but every retained "
+                    f"downstream snapshot consumed a newer upstream version — "
+                    "downstream must be rebuilt from scratch (vacuum expired "
+                    "the recovery point)",
+                    target=e.target,
+                ) from e
+            dst.rollback(floor)
+            out = sync_incremental(src, dst, transform, dead_letter)
+            out["rolled_back_to"] = floor
+            return out
     if transform is not None:
         df = transform(df)
 

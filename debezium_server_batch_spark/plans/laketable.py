@@ -64,6 +64,21 @@ class ConcurrentCommitError(RuntimeError):
     silently erase the winner's data files (lost update)."""
 
 
+class RollbackBeyondCheckpointError(ValueError):
+    """changes(since, to) crossed a rollback whose target precedes
+    `since`: rows the consumer already read from (target, since] were
+    UNDONE upstream, so no incremental result can express the
+    correction — the consumer's own state is stale, not just behind.
+    Carries `.target` (the rollback's to_version); incremental
+    consumers recover by rolling their own table back to a snapshot
+    consumed at-or-below it and re-syncing (sync_incremental does this
+    automatically)."""
+
+    def __init__(self, message: str, target: int):
+        super().__init__(message)
+        self.target = target
+
+
 class UnsupportedFormatVersionError(RuntimeError):
     """The table's snapshot header declares an on-disk format version
     newer than this reader understands. Refusing loudly beats mis-reading
@@ -1442,7 +1457,12 @@ class LakeTable:
         the order-guard semantics exclude) would be missed.
         Maintenance commits (compaction, vacuum-expiry survivors,
         checkpoint-only) add no logical rows and are skipped; other
-        rewrites (unknown ops) still raise ValueError. Default
+        rewrites (unknown ops) still raise ValueError. Rollback commits
+        whose target is at-or-after `since_version` net out exactly
+        (the undone commits' rows drop from the result); a rollback
+        BELOW `since_version` raises RollbackBeyondCheckpointError —
+        the consumer's already-consumed rows were undone, see that
+        class's recovery contract. Default
         to_version is the PUBLISHED head (WAP gate) — followers never
         propagate unaudited staged commits; publish commits in range
         are skipped like any maintenance rewrite (their staged
@@ -1451,7 +1471,7 @@ class LakeTable:
         if since_version > to_version:
             raise ValueError(f"since_version {since_version} > to_version {to_version}")
         current = self.schema(self.snapshot(to_version))
-        parts: list[DataFrame] = []
+        parts: list[tuple[int, DataFrame]] = []
         prev = self.snapshot(since_version)
         for v in range(since_version + 1, to_version + 1):
             snap = self.snapshot(v)
@@ -1459,15 +1479,37 @@ class LakeTable:
             if op in self._CHANGE_OPS:
                 added = self._added_entries(prev, snap)
                 if added:
-                    parts.append(
+                    parts.append((
+                        v,
                         conform(self._read_entries(added, snap), current).withColumn(
                             "_commit_version", F.lit(v)
-                        )
-                    )
+                        ),
+                    ))
             elif op == "merge":
                 delta = self._cow_changes(prev, snap, current)
                 if delta is not None:
-                    parts.append(delta.withColumn("_commit_version", F.lit(v)))
+                    parts.append((v, delta.withColumn("_commit_version", F.lit(v))))
+            elif op == "rollback":
+                # a rollback inside the range UNDOES every commit after
+                # its target. Target at-or-after `since`: the undone rows
+                # are ones this very walk emitted — drop those parts and
+                # keep walking from the rolled-back state (exact: the
+                # rollback snapshot's buckets equal the target's, so
+                # later diffs net correctly). This is also how a
+                # follower crosses an upstream WAP discard_staged().
+                # Target BELOW `since`: rows consumed by EARLIER
+                # changes() calls were undone — no incremental result
+                # can express that; raise the typed error so the
+                # consumer rolls its own state back.
+                t = (snap.get("summary") or {}).get("to_version")
+                if t is None or t < since_version:
+                    raise RollbackBeyondCheckpointError(
+                        f"changes({since_version}, {to_version}): commit v{v} rolled "
+                        f"back to v{t} — below the consumed floor; roll the consumer "
+                        "back to a snapshot at-or-below the target and re-sync",
+                        target=-1 if t is None else t,
+                    )
+                parts = [(pv, p) for pv, p in parts if pv <= t]
             elif op not in self._REWRITE_OPS and op != "checkpoint-only":
                 raise ValueError(
                     f"changes({since_version}, {to_version}): commit v{v} is "
@@ -1481,8 +1523,8 @@ class LakeTable:
                 current.fields + [T.StructField("_commit_version", T.IntegerType(), False)]
             )
             return self.spark.createDataFrame([], schema)
-        out = parts[0]
-        for p in parts[1:]:
+        out = parts[0][1]
+        for _, p in parts[1:]:
             out = out.unionByName(p)
         return out
 

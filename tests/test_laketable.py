@@ -1357,6 +1357,68 @@ def test_sync_incremental_rebootstraps_after_vacuum_expiry(spark, tmp_path):
     assert sync_incremental(bronze, silver)["noop"]
 
 
+def test_changes_nets_out_in_range_rollback(spark, tmp_path):
+    """A rollback whose target is at-or-after `since` nets exactly: the
+    undone commits' rows drop from the changelog, commits after the
+    rollback still flow (this is also the path a follower takes across
+    an upstream WAP discard_staged)."""
+    t = _mor_table(spark, tmp_path / "t")
+    t.merge(_batch(spark, [("a", "t1", 1, False)]))  # v1
+    t.merge(_batch(spark, [("b", "t1", 2, False)]))  # v2
+    t.merge(_batch(spark, [("c", "t1", 3, False)]))  # v3
+    t.rollback(2)  # v4: undoes the c-batch
+    t.merge(_batch(spark, [("d", "t1", 4, False)]))  # v5
+    ch = t.changes(1)
+    got = {(r["url"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {("b", 2), ("d", 5)}  # c's insert netted out
+    # rollback all the way to `since` itself: everything in range drops
+    t.rollback(1)  # v6
+    assert t.changes(1, 6).count() == 0
+
+
+def test_changes_raises_on_rollback_below_since(spark, tmp_path):
+    from debezium_server_batch_spark.plans.laketable import (
+        RollbackBeyondCheckpointError,
+    )
+
+    t = _mor_table(spark, tmp_path / "t")
+    t.merge(_batch(spark, [("a", "t1", 1, False)]))  # v1
+    t.merge(_batch(spark, [("b", "t1", 2, False)]))  # v2
+    t.rollback(1)  # v3: undoes v2 — below a consumer checkpointed at 2
+    with pytest.raises(RollbackBeyondCheckpointError) as ei:
+        t.changes(2).collect()
+    assert ei.value.target == 1
+
+
+def test_sync_incremental_recovers_from_upstream_rollback(spark, tmp_path):
+    """Upstream bad-batch rollback BELOW the follower's consumed floor:
+    the follower rolls its own table back to the snapshot that consumed
+    at-or-below the rollback target (checkpoints co-roll), re-syncs,
+    and converges to exactly the from-scratch transform of upstream —
+    including dropping rows it had synced from the undone commits."""
+    from debezium_server_batch_spark.plans.chained import sync_incremental
+
+    bronze = _mor_table(spark, tmp_path / "bronze")
+    silver = _mor_table(spark, tmp_path / "silver")
+    bronze.merge(_batch(spark, [("a", "t1", 1, False)]))  # v1
+    assert sync_incremental(bronze, silver)["rows_synced"] == 1
+    bronze.merge(_batch(spark, [("bad", "oops", 2, False)]))  # v2 (poisoned)
+    assert sync_incremental(bronze, silver)["rows_synced"] == 1
+    assert {r["url"] for r in silver.read().collect()} == {"a", "bad"}
+
+    bronze.rollback(1)  # v3: undo the poisoned batch
+    bronze.merge(_batch(spark, [("c", "t1", 3, False)]))  # v4
+    r = sync_incremental(bronze, silver)
+    assert "rolled_back_to" in r and not r["noop"]
+    state = {x["url"]: x["text"] for x in silver.read().collect()}
+    assert state == {"a": "t1", "c": "t1"}  # 'bad' gone downstream too
+    # steady state resumes incrementally
+    assert sync_incremental(bronze, silver)["noop"]
+    bronze.merge(_batch(spark, [("d", "t1", 4, False)]))
+    assert sync_incremental(bronze, silver)["rows_synced"] == 1
+    assert {x["url"] for x in silver.read().collect()} == {"a", "c", "d"}
+
+
 def test_follow_loop_paces_and_converges(spark, tmp_path):
     """follow(): per-tick sync_incremental paced by the BatchSizeWait
     family — upstream commits landing BETWEEN ticks (injected from the

@@ -109,6 +109,25 @@ def test_changes_and_follower_gate_on_published(spark, tmp_path, table):
     assert {x["url"] for x in dst.read().collect()} == {"a", "b"}
 
 
+def test_follower_syncs_across_discard_staged(spark, tmp_path, table):
+    """discard_staged() is a rollback; a follower whose next sync range
+    crosses it must net the discarded chain out (not wedge, not
+    propagate the discarded rows) and keep following the re-ingest."""
+    dst = LakeTable.create(
+        spark, str(tmp_path / "silver"), SCHEMA, key_col="url",
+        num_buckets=4, order_by=("__lsn",), merge_mode="mor",
+    )
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))  # published v1
+    assert sync_incremental(table, dst)["rows_synced"] == 1
+    stage = table.staging()
+    stage.merge(_batch(spark, [("b", "bad", 2, False)]))  # staged v2
+    table.discard_staged()  # v3 (rollback to the published floor)
+    table.merge(_batch(spark, [("c", "t2", 3, False)]))  # published v4
+    r = sync_incremental(table, dst)
+    assert r["rows_synced"] == 1 and not r.get("rolled_back_to")
+    assert {x["url"] for x in dst.read().collect()} == {"a", "c"}
+
+
 def test_rollback_into_staged_chain_stays_staged(spark, table):
     """rollback(v) to a mid-chain STAGED version must not silently
     publish it: the target's staged flag travels with its data, so the
