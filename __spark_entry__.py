@@ -847,6 +847,62 @@ def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BAD-BATCH RECOVERY through the table format: append
+    the pre-cut ledger half (v1), append a POISONED second half (every
+    value inflated — the bad batch, v2), roll the table back to v1
+    (metadata-only commit), append the real second half, then aggregate
+    the table's NETTED incremental changelog `changes(0)` — the
+    rollback-aware walk must drop the poisoned commit's rows exactly,
+    so the changelog equals the clean ledger. The oracle recomputes the
+    same aggregate from the raw parquet: any poison leakage (into the
+    changelog OR the final state, also asserted) hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("date")
+    first = ev.filter(F.to_date(F.col("ts")) < cut)
+    second = ev.filter(F.to_date(F.col("ts")) >= cut)
+    poison = second.withColumn("value", F.col("value") + F.lit(1e6))
+    workdir = tempfile.mkdtemp(prefix="dsbs-rollback-")
+    try:
+        t = LakeTable.create(
+            spark,
+            os.path.join(workdir, "ledger"),
+            schema=ev.schema,
+            key_col="event_id",
+            num_buckets=4,
+            order_by=("event_id",),
+        )
+        t.append(first, rows_hint=first.count())
+        good_v = t.current_version()
+        t.append(poison, rows_hint=second.count())
+        t.rollback(good_v)
+        t.append(second, rows_hint=second.count())
+        n_total = ev.count()
+        assert t.read().count() == n_total, "rollback left a wrong final state"
+        assert (
+            t.read().agg(F.max("value")).collect()[0][0] < 1e6
+        ), "poisoned batch leaked into the final state"
+        out = (
+            t.changes(0)
+            .drop("_commit_version")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -889,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_slice": q_cdc_time_slice,
         "cdc_changelog": q_cdc_changelog,
         "cdc_rescale": q_cdc_rescale,
+        "cdc_rollback": q_cdc_rollback,
         "link_rank": q_link_rank,
     }
 
@@ -1627,6 +1684,14 @@ def oracle_sql() -> dict[str, str]:
             FROM it3 ORDER BY rank DESC, id LIMIT 20
         """,
         "cdc_rescale": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "cdc_rollback": """
             SELECT event_type,
                    count(*) AS n,
                    count(DISTINCT user_id) AS n_users,
