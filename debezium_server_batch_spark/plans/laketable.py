@@ -445,6 +445,18 @@ class LakeTable:
                 snap.get("summary") or {}
             ).get("operation") not in ("publish", "rollback"):
                 snap["staged"] = True
+                # O(1) WAP gate: every staged header carries a pointer to
+                # the published floor beneath its chain, so a default read
+                # against a 10^4-commit staged chain resolves in ONE header
+                # read instead of walking the chain (each walk step is a
+                # ~10ms object-store GET). First staged commit: the base is
+                # the floor; later ones inherit.
+                if base is not None:
+                    snap["published_floor"] = (
+                        base.get("published_floor")
+                        if base.get("staged")
+                        else base["version"]
+                    )
             snap["version"] = (cur + 1) if cur is not None else 0
             snap["parent"] = cur
             # per-ATTEMPT uuid: lets an object-store claim() disambiguate
@@ -2039,7 +2051,21 @@ class LakeTable:
     def published_version(self) -> int | None:
         """Latest retained snapshot NOT carrying the staged flag — what
         default readers resolve to. Equals current_version() on tables
-        never written through a staging() handle."""
+        never written through a staging() handle. O(1): an unstaged head
+        answers directly; a staged head carries a `published_floor`
+        pointer to the publish floor beneath its chain (commit-time
+        inherited), so no chain walk. Falls back to the newest-first
+        header scan only for staged headers written before the pointer
+        existed."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        head = self._header(cur)
+        if not head.get("staged"):
+            return cur
+        pf = head.get("published_floor")
+        if pf is not None:
+            return pf
         for v in sorted(self.versions(), reverse=True):
             if not self._header(v).get("staged"):
                 return v
@@ -2150,8 +2176,13 @@ class LakeTable:
             return cur
 
         def build(base: dict) -> dict:
+            staged_bits: dict = {}
+            if target.get("staged"):
+                staged_bits["staged"] = True
+                if target.get("published_floor") is not None:
+                    staged_bits["published_floor"] = target["published_floor"]
             return {
-                **({"staged": True} if target.get("staged") else {}),
+                **staged_bits,
                 **self._carry(target),
                 "schemas": dict(target["schemas"]),
                 "current_schema_id": target["current_schema_id"],

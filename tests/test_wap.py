@@ -109,6 +109,45 @@ def test_changes_and_follower_gate_on_published(spark, tmp_path, table):
     assert {x["url"] for x in dst.read().collect()} == {"a", "b"}
 
 
+def test_published_version_is_o1_on_long_staged_chain(spark, table):
+    """Every staged header carries a published_floor pointer, so the
+    WAP gate resolves without walking the chain: published_version()
+    on a staged head reads exactly ONE header. Pointer survives
+    rollback-into-chain; a doctored pointerless header falls back to
+    the scan and still answers correctly."""
+    table.merge(_batch(spark, [("a", "t1", 1, False)]))  # published v1
+    stage = table.staging()
+    for i in range(6):  # staged v2..v7
+        stage.merge(_batch(spark, [(f"s{i}", "x", 10 + i, False)]))
+    table.rollback(5)  # v8: staged (target staged), pointer carried
+
+    calls = {"n": 0}
+    orig = table._header
+
+    def counting(v):
+        calls["n"] += 1
+        return orig(v)
+
+    table._header = counting
+    assert table.published_version() == 1
+    assert calls["n"] == 1  # head only — no chain walk
+    table._header = orig
+
+    # legacy chain (no pointer): fallback scan still correct
+    snap = dict(table.snapshot())
+    assert snap["published_floor"] == 1
+    import json as _json
+    import os as _os
+
+    head_path = _os.path.join(
+        table.root, "_meta", f"v{table.current_version():08d}.json"
+    )
+    doctored = _json.loads(table.storage.read_text(head_path))
+    doctored.pop("published_floor")
+    table.storage.write_text(head_path, _json.dumps(doctored))
+    assert table.published_version() == 1
+
+
 def test_follower_syncs_across_discard_staged(spark, tmp_path, table):
     """discard_staged() is a rollback; a follower whose next sync range
     crosses it must net the discarded chain out (not wedge, not

@@ -28,8 +28,15 @@ a derived column — the shape where incremental consumption is provably
 equivalent to a from-scratch transform (filters on MUTABLE columns are
 not, by construction, and sync_incremental's docstring says so).
 
-Usage: python tools/chained_crash_soak.py [n_pages=8000] [cores=8]
+Usage: python tools/chained_crash_soak.py [n_pages=8000] [cores=8] [rollback]
        python tools/chained_crash_soak.py daemon <bronze> <silver> <gold> <dlq>  (internal)
+
+With the `rollback` leg: after the chain fully drains, bronze is rolled
+back BELOW the follower's consumed floor (bad-batch recovery) and the
+same log re-replayed to reconverge it; the follower is then killed
+repeatedly INSIDE its self-recovery window (RollbackBeyondCheckpointError
+→ dst rollback to its consumed floor → resync). Verdict additionally
+requires ≥1 observed recovery tick and bronze row-exact reconvergence.
 Prints one JSON line with kills, ticks, rebootstraps, and the equality
 verdict.
 """
@@ -243,22 +250,71 @@ def main() -> None:
         spark, LakeTable, ConcurrentCommitError, silver,
         tf(b.read(include_deleted=True)).schema, order_by,
     )
-    while True:
-        r = sync_incremental(b, s, transform=tf)
-        ticks.append({"hop": "silver", **r})
-        rebootstraps += bool(r.get("bootstrap"))
-        if r["noop"]:
-            break
-    g = _ensure_table(
-        spark, LakeTable, ConcurrentCommitError, gold,
-        tf2(s.read(include_deleted=True)).schema, order_by,
-    )
-    while True:
-        r = sync_incremental(s, g, transform=tf2, dead_letter=dlq)
-        ticks.append({"hop": "gold", **r})
-        rebootstraps += bool(r.get("bootstrap"))
-        if r["noop"]:
-            break
+
+    def drain():
+        nonlocal rebootstraps, g
+        while True:
+            r = sync_incremental(b, s, transform=tf)
+            ticks.append({"hop": "silver", **r})
+            rebootstraps += bool(r.get("bootstrap"))
+            if r["noop"]:
+                break
+        if g is None:
+            g = _ensure_table(
+                spark, LakeTable, ConcurrentCommitError, gold,
+                tf2(s.read(include_deleted=True)).schema, order_by,
+            )
+        while True:
+            r = sync_incremental(s, g, transform=tf2, dead_letter=dlq)
+            ticks.append({"hop": "gold", **r})
+            rebootstraps += bool(r.get("bootstrap"))
+            if r["noop"]:
+                break
+
+    g = None
+    drain()
+
+    # ---- optional rollback leg: upstream bad-batch rollback BELOW the
+    # follower's fully-drained floor, re-replay to reconverge, kills
+    # landing inside the follower's self-recovery window -------------
+    rollback_info = {}
+    if "rollback" in sys.argv[3:]:
+        rows_before = b.read().count()
+        head = b.published_version() or b.current_version()
+        candidates = [v for v in b.versions() if v < head]
+        if not candidates:
+            rollback_info = {"skipped": "no retained version below head"}
+        else:
+            target = candidates[len(candidates) // 2]
+            b.rollback(target)
+            # the checkpoint co-rolled: a re-replay of the SAME log
+            # reconverges bronze deterministically (new version numbers,
+            # identical final state) — the "corrected batch" after the
+            # bad-batch rollback
+            r = cli(["--master", f"local[{cores}]", "replay", "--log", log,
+                     "--table", bronze, "--batch-events", "2000", "--buckets", "8"])
+            assert r.returncode == 0, r.stderr.decode()[-2000:]
+            b = LakeTable.load(spark, bronze)
+            rows_after = b.read().count()
+            # kill the follower mid-recovery: resumes must cross
+            # RollbackBeyondCheckpointError → dst rollback → resync
+            for _ in range(3):
+                d = spawn_daemon()
+                time.sleep(6.0)
+                if d.poll() is None:
+                    d.send_signal(signal.SIGKILL)
+                    kills += 1
+                rebootstraps += harvest(d)
+            drain()
+            recoveries = sum(1 for t in ticks if t.get("rolled_back_to") is not None)
+            rollback_info = {
+                "target": target,
+                "head_before": head,
+                "bronze_rows_before": rows_before,
+                "bronze_rows_after_rereplay": rows_after,
+                "reconverged": rows_before == rows_after,
+                "follower_recoveries": recoveries,
+            }
 
     # from-scratch chain: bronze → scratch-silver → scratch-gold
     scratch_root = "/dev/shm/chained-soak-scratch"
@@ -323,6 +379,12 @@ def main() -> None:
         "dead_spooled_rows": spooled_rows,
         "dlq_no_loss": dlq_no_loss,
     }
+    if rollback_info:
+        out["rollback_leg"] = rollback_info
+        if not rollback_info.get("skipped"):
+            out["exact_match"] = out["exact_match"] and (
+                rollback_info["reconverged"] and rollback_info["follower_recoveries"] >= 1
+            )
     for dpath in (bronze, silver, gold, dlq, scratch_root, scratch_gold_root):
         shutil.rmtree(dpath, ignore_errors=True)
     print(json.dumps(out))
