@@ -1376,6 +1376,38 @@ def test_changes_nets_out_in_range_rollback(spark, tmp_path):
     assert t.changes(1, 6).count() == 0
 
 
+def test_changes_netting_stacked_rollbacks_and_maintenance(spark, tmp_path):
+    """The netting walk under the gnarly histories: two rollbacks in one
+    range, a rollback targeting another rollback commit's version, and a
+    compaction between them. Invariant: for append-only batches with
+    disjoint keys, changes(0) == the current table state exactly."""
+    t = _mor_table(spark, tmp_path / "t")
+    t.merge(_batch(spark, [("a", "t1", 1, False)]))  # v1
+    t.merge(_batch(spark, [("b", "t1", 2, False)]))  # v2
+    t.rollback(1)  # v3: drop b
+    t.merge(_batch(spark, [("c", "t1", 3, False)]))  # v4
+    t.compact_deltas()  # v5: maintenance inside the range
+    t.merge(_batch(spark, [("d", "t1", 4, False)]))  # v6
+    t.rollback(3)  # v7: targets the FIRST rollback commit → state {a}
+    t.merge(_batch(spark, [("e", "t1", 5, False)]))  # v8
+
+    state = {r["url"] for r in t.read().collect()}
+    assert state == {"a", "e"}
+    ch = {(r["url"], r["_commit_version"]) for r in t.changes(0).collect()}
+    assert ch == {("a", 1), ("e", 8)}
+    # sub-ranges stay consistent too: a walk starting between the
+    # rollbacks nets only what IT emitted (v4's c), then v7 (target 3
+    # >= since 3) drops it
+    assert t.changes(3).count() == 1  # just e
+    # and a since above the second rollback's target raises typed
+    from debezium_server_batch_spark.plans.laketable import (
+        RollbackBeyondCheckpointError,
+    )
+
+    with pytest.raises(RollbackBeyondCheckpointError):
+        t.changes(4).collect()
+
+
 def test_changes_raises_on_rollback_below_since(spark, tmp_path):
     from debezium_server_batch_spark.plans.laketable import (
         RollbackBeyondCheckpointError,
