@@ -847,6 +847,29 @@ def q_cdc_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-export planning: contiguous token-budget shard assignment
+    over the documents table plus the loader manifest — per-shard doc
+    and token counts, id range, and the order-independent DECIMAL
+    content checksum. The oracle recomputes the whole manifest (window
+    cumsum, floor-division shard id, 60-bit md5-prefix sum) in SQL, so
+    shard boundaries AND content integrity are equality-gated."""
+    from debezium_server_batch_spark.operators.export import shard_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    return shard_manifest(with_tokens, shard_tokens=5000).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "first_id",
+        "last_id",
+        F.col("content_checksum").cast("decimal(38,0)").alias("content_checksum"),
+    )
+
+
 def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BAD-BATCH RECOVERY through the table format: append
     the pre-cut ledger half (v1), append a POISONED second half (every
@@ -946,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": q_cdc_changelog,
         "cdc_rescale": q_cdc_rescale,
         "cdc_rollback": q_cdc_rollback,
+        "shard_manifest": q_shard_manifest,
         "link_rank": q_link_rank,
     }
 
@@ -1690,6 +1714,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY event_type
+        """,
+        "shard_manifest": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT AS ck
+              FROM t
+            )
+            SELECT CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_id,
+                   max(doc_id) AS last_id,
+                   CAST(sum(ck) AS DECIMAL(38,0)) AS content_checksum
+            FROM c
+            GROUP BY 1
         """,
         "cdc_rollback": """
             SELECT event_type,

@@ -1,0 +1,110 @@
+"""Dataset export: contiguous token-budget sharding, loader manifest
+(counts, id ranges, order-independent checksum), physical partitioned
+write + read-back integrity."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_server_batch_spark.functions.text import token_count
+from debezium_server_batch_spark.operators.export import (
+    assign_shards,
+    export_shards,
+    shard_manifest,
+)
+
+
+def _docs(spark, n=60):
+    # deterministic variable-length docs: doc i has (i % 13) + 1 tokens
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.pmod(F.col("id"), F.lit(13))),
+                    lambda j: F.concat(F.lit("w"), (F.col("id") * 100 + j).cast("string")),
+                ),
+            ).alias("text"),
+        )
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+
+
+BUDGET = 25
+
+
+def test_assign_shards_contiguous_and_bounded(spark):
+    a = assign_shards(_docs(spark), shard_tokens=BUDGET).orderBy("doc_id").collect()
+    # contiguous: shard ids are non-decreasing in doc order, starting at 0
+    ids = [r["shard_id"] for r in a]
+    assert ids[0] == 0 and all(b - a_ in (0, 1) for a_, b in zip(ids, ids[1:]))
+    # bounded: a doc's START offset lies in its shard, so every shard's
+    # token sum minus its LAST doc is under budget (overflow ≤ one doc)
+    per = {}
+    for r in a:
+        per.setdefault(r["shard_id"], []).append(r["n_tokens"])
+    for toks in per.values():
+        assert sum(toks) - toks[-1] < BUDGET
+
+
+def test_shard_manifest_partitioning_invariant(spark):
+    d = _docs(spark)
+    m1 = shard_manifest(d.repartition(1), shard_tokens=BUDGET)
+    m7 = shard_manifest(d.repartition(7), shard_tokens=BUDGET)
+    r1 = sorted(map(tuple, m1.collect()))
+    r7 = sorted(map(tuple, m7.collect()))
+    assert r1 == r7 and len(r1) > 3
+    # checksum detects any content change
+    mutated = d.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("x")).otherwise(F.col("text"))
+    )
+    rm = sorted(map(tuple, shard_manifest(mutated, shard_tokens=BUDGET).collect()))
+    assert rm != r1
+
+
+def test_export_shards_roundtrip(spark, tmp_path):
+    d = _docs(spark)
+    out = str(tmp_path / "export")
+    manifest = {r["shard_id"]: r for r in export_shards(d, out, shard_tokens=BUDGET).collect()}
+
+    back = spark.read.parquet(os.path.join(out, "data"))
+    # every document exactly once
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    # per-shard read-back equals the manifest contract
+    got = (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .collect()
+    )
+    assert len(got) == len(manifest)
+    for r in got:
+        m = manifest[r["shard_id"]]
+        assert (r["n_docs"], r["n_tokens"], r["first_id"], r["last_id"]) == (
+            m["n_docs"], m["n_tokens"], m["first_id"], m["last_id"],
+        )
+    # the persisted manifest matches the returned one
+    stored = {
+        r["shard_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "_manifest")).collect()
+    }
+    assert {k: v["content_checksum"] for k, v in stored.items()} == {
+        k: v["content_checksum"] for k, v in manifest.items()
+    }
+    # one file per shard (repartition-before-partitionBy, not N files)
+    shard0_dir = [
+        p for p in os.listdir(os.path.join(out, "data")) if p.startswith("shard_id=")
+    ][0]
+    files = [
+        f
+        for f in os.listdir(os.path.join(out, "data", shard0_dir))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
