@@ -69,12 +69,68 @@ def hash_sample(
     return df.filter(h < thr)
 
 
+def global_running_total(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Id-ordered global running total of `token_col` as a `_cum` column
+    — WITHOUT the single-partition global window (`Window.orderBy(id)`
+    moves the whole corpus through ONE task; at web scale that is the
+    plan that never finishes).
+
+    Two-level scan, all stages parallel:
+
+    1. `repartitionByRange(P, id)` — contiguous id ranges, one per task.
+    2. per-partition window cumsum keyed on `spark_partition_id()` —
+       P parallel streams.
+    3. per-partition token totals (P rows) → exclusive prefix offsets
+       via a window over those P rows (trivially small) → BROADCAST
+       back and add. No driver collect anywhere.
+
+    Bit-identical to the single-window plan: ids are a total order,
+    range partitioning keeps equal ids together (window-peer semantics
+    preserved), and integer addition is associative.
+
+    The ranged frame is persisted (MEMORY_AND_DISK): `spark_partition_id`
+    must agree between the offsets aggregate and the final join, and
+    range boundaries come from a sampling pass, so both branches must
+    read the SAME materialization — this also makes the boundary sample
+    a one-time cost instead of two scans."""
+    from pyspark import StorageLevel
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = F.col(token_col).cast("long")
+    w_local = Window.partitionBy("_pid").orderBy(F.col(id_col))
+    local = ranged.withColumn("_lcum", F.sum(tok).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum(tok).alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_poff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", (F.col("_poff") + F.col("_lcum")).cast("long"))
+        .drop("_pid", "_lcum", "_poff")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2048,
     stratum_col: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: order documents by id (within
     `stratum_col` if given), run a cumulative token count, and assign
@@ -89,17 +145,21 @@ def pack_documents(
     Returns (id_col[, stratum_col], n_tokens, pack_id, pack_offset) —
     pack_offset = the doc's starting token offset within its pack.
 
-    100-TB shape: the running sum is a window scan — sequential WITHIN a
-    stratum, parallel ACROSS strata. Partition the corpus into enough
-    strata (language x source, or hash buckets of the id) that each
-    stratum fits a task; a single global stream would serialize, which
-    is why stratum_col defaults to required-in-practice."""
-    parts = [stratum_col] if stratum_col else []
-    w = Window.partitionBy(*parts).orderBy(F.col(id_col))
-    cum = F.sum(F.col(token_col)).over(w)
-    start = (cum - F.col(token_col)).cast("long")
+    100-TB shape: with `stratum_col` the running sum is a window scan —
+    sequential within a stratum, parallel across strata. WITHOUT a
+    stratum the global order is computed by `global_running_total`'s
+    range-partitioned two-level cumsum (P parallel streams + an O(P)
+    offset broadcast), never a single-partition window — so the
+    unstratified path (how `operators/export` shards a whole corpus)
+    scales with the cluster too."""
+    if stratum_col:
+        w = Window.partitionBy(stratum_col).orderBy(F.col(id_col))
+        base = df.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+    else:
+        base = global_running_total(df, id_col, token_col, num_partitions)
+    start = (F.col("_cum") - F.col(token_col)).cast("long")
     cols = [F.col(id_col)] + ([F.col(stratum_col)] if stratum_col else [])
-    return df.select(
+    return base.select(
         *cols,
         F.col(token_col).cast("long").alias("n_tokens"),
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),

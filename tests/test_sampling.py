@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from debezium_server_batch_spark.operators.sampling import (
+    global_running_total,
     hash_sample,
     hash_threshold,
     pack_documents,
@@ -91,3 +92,78 @@ def test_pack_documents_semantics(spark):
         for r in pack_documents(df.repartition(7), budget=512, stratum_col="lang").collect()
     }
     assert out == out2
+
+
+def _ref_cumsum(spark, df, id_col, token_col):
+    """Single-window reference (the plan global_running_total replaces)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col))
+    return {
+        r[id_col]: r["_cum"]
+        for r in df.withColumn("_cum", F.sum(F.col(token_col)).over(w)).collect()
+    }
+
+
+def test_global_running_total_matches_single_window(spark):
+    """The range-partitioned two-level cumsum is bit-identical to the
+    single-partition global window, for every input partitioning and
+    every partition count — including P > n_rows (empty ranges) and
+    P = 1 (degenerate to the reference plan)."""
+    df = spark.range(137).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(29)) + 1).alias("n_tokens"),
+    )
+    ref = _ref_cumsum(spark, df, "doc_id", "n_tokens")
+    for in_parts in (1, 5, 32):
+        for p in (1, 4, 200):
+            got = {
+                r["doc_id"]: r["_cum"]
+                for r in global_running_total(
+                    df.repartition(in_parts), "doc_id", "n_tokens", num_partitions=p
+                ).collect()
+            }
+            assert got == ref, (in_parts, p)
+
+
+def test_global_running_total_tie_semantics(spark):
+    """Duplicate ids: window-peer semantics (all ties share the cum of
+    the full peer group) must survive the distributed plan — range
+    partitioning keeps equal keys in one partition."""
+    from pyspark.sql import Window
+
+    rows = [(1, 10), (2, 20), (2, 30), (2, 40), (3, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ref = sorted(
+        (r["doc_id"], r["_cum"])
+        for r in df.withColumn(
+            "_cum", F.sum("n_tokens").over(Window.orderBy("doc_id"))
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["_cum"])
+        for r in global_running_total(df.repartition(4), "doc_id", "n_tokens", 8).collect()
+    )
+    assert got == ref
+
+
+def test_pack_documents_unstratified_is_distributed(spark):
+    """The unstratified path must NOT plan a global no-partition window
+    over the corpus: the physical plan carries range partitioning and a
+    broadcast of the O(P) offsets, and its output equals a stratified
+    run with a single constant stratum (same global order)."""
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(13)) + 1).alias("n_tokens"),
+    )
+    out = pack_documents(df, budget=50, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    assert "broadcast" in plan
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
+    one = df.withColumn("_s", F.lit(1))
+    ref = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents(one, budget=50, stratum_col="_s").collect()
+    }
+    assert got == ref
