@@ -22,10 +22,57 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from debezium_server_batch_spark.operators.sampling import pack_documents
+from debezium_server_batch_spark.operators.sampling import global_running_total
+
+
+def _content_ck(id_col: str, text_col: str):
+    """Per-document checksum term: first 15 hex chars of
+    md5(id || ':' || text) as a 60-bit integer, widened to
+    DECIMAL(38,0) so shard sums never overflow. Strict concat (not
+    concat_ws): NULL text -> NULL term, skipped by SUM — identical to
+    SQL `||`, so oracles agree on corpora with NULL rows."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+
+
+def with_shard_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shard_tokens: int = 1_000_000,
+    stratum_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + a `shard_id` column, ALL other columns preserved — the
+    zero-join way to shard a corpus: the running total is computed in
+    place (stratified: per-stratum window; unstratified:
+    `global_running_total`'s range-partitioned two-level cumsum), so
+    text/metadata never have to be joined back on id afterwards. At
+    corpus scale that join is a corpus×corpus shuffle; this is one
+    scan."""
+    if stratum_col:
+        w = Window.partitionBy(stratum_col).orderBy(F.col(id_col))
+        base = df.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+    else:
+        base = global_running_total(df, id_col, token_col, num_partitions)
+    start = (F.col("_cum") - F.col(token_col)).cast("long")
+    return base.withColumn(
+        "shard_id", F.floor(start / F.lit(shard_tokens)).cast("long")
+    ).drop("_cum")
 
 
 def assign_shards(
@@ -39,14 +86,13 @@ def assign_shards(
     order by id (within stratum), cumulative token count, shard =
     start-offset // budget. A document straddling a boundary stays in
     its start shard, so shards overflow by at most one document —
-    `pack_documents` semantics at shard granularity (it IS that window
-    plan, re-labeled; one scan, sequential within a stratum, parallel
-    across strata)."""
-    packed = pack_documents(
-        df, id_col=id_col, token_col=token_col, budget=shard_tokens,
+    `pack_documents` semantics at shard granularity (same cumsum plan;
+    see `with_shard_id` for the all-columns variant)."""
+    cols = [F.col(id_col)] + ([F.col(stratum_col)] if stratum_col else [])
+    return with_shard_id(
+        df, id_col=id_col, token_col=token_col, shard_tokens=shard_tokens,
         stratum_col=stratum_col,
-    )
-    return packed.withColumnRenamed("pack_id", "shard_id").drop("pack_offset")
+    ).select(*cols, F.col(token_col).cast("long").alias("n_tokens"), "shard_id")
 
 
 def shard_manifest(
@@ -66,35 +112,18 @@ def shard_manifest(
     `sum(('0x' || substr(md5(...),1,15))::BIGINT)::DECIMAL(38,0)`),
     and any dropped/duplicated/bit-flipped document changes it.
 
-    One window scan + one hash aggregate; the checksum needs no sort
-    and no collect — O(docs) work however many shards there are."""
-    # strict concat (not concat_ws): a NULL text yields a NULL checksum
-    # term that the sum skips — identical to SQL `||` semantics, so the
-    # oracle agrees on corpora with NULL rows too
-    ck = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("decimal(38,0)")
+    One cumsum scan + one hash aggregate; the checksum needs no sort,
+    no collect, and — because `with_shard_id` keeps every column — no
+    join back to the corpus. O(docs) work however many shards."""
+    ck = _content_ck(id_col, text_col)
+    assigned = with_shard_id(
+        df.withColumn("_ck", ck), id_col=id_col, token_col=token_col,
+        shard_tokens=shard_tokens, stratum_col=stratum_col,
     )
-    # pack_documents projects away non-key columns, so the checksum
-    # rides back in on an id equi-join (both sides are one scan of df;
-    # AQE broadcasts whichever is small)
-    assigned = assign_shards(
-        df, id_col=id_col, token_col=token_col, shard_tokens=shard_tokens,
-        stratum_col=stratum_col,
-    ).join(df.select(F.col(id_col), ck.alias("_ck")), id_col)
     group = ([stratum_col] if stratum_col else []) + ["shard_id"]
     return assigned.groupBy(*group).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
         F.min(id_col).alias("first_id"),
         F.max(id_col).alias("last_id"),
         F.sum("_ck").alias("content_checksum"),
@@ -115,27 +144,36 @@ def export_shards(
     manifest at `<out_dir>/_manifest` (parquet) for integrity checks
     and length-aware scheduling. Returns the manifest DataFrame.
 
-    Scale shape: `repartition(shard_id)` co-locates each shard in one
-    task before `partitionBy` so a shard is one file, not
+    Scale shape: `with_shard_id` keeps every column, so there is NO
+    join anywhere — one cumsum scan assigns shards in place, then
+    `repartition(shard_id)` co-locates each shard in one task before
+    `partitionBy` so a shard is one file, not
     one-file-per-input-partition (the small-files failure mode of a
     naive partitioned write at 10^5 shards); `sortWithinPartitions`
     keeps ids monotonic inside the file, which the manifest's
     first/last-id contract documents. At a fixed token budget, task
-    memory is bounded by shard_tokens regardless of corpus size."""
-    assigned = assign_shards(
-        df, id_col=id_col, token_col=token_col, shard_tokens=shard_tokens
-    ).select(id_col, "shard_id")
+    memory is bounded by shard_tokens regardless of corpus size. The
+    manifest aggregate reuses the same assigned frame (same persisted
+    range scan), not a second assignment pass."""
+    ck = _content_ck(id_col, text_col)
+    assigned = with_shard_id(
+        df.withColumn("_ck", ck), id_col=id_col, token_col=token_col,
+        shard_tokens=shard_tokens,
+    )
     (
-        df.join(assigned, id_col)
+        assigned.drop("_ck")
         .repartition(F.col("shard_id"))
         .sortWithinPartitions(id_col)
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .parquet(os.path.join(out_dir, "data"))
     )
-    manifest = shard_manifest(
-        df, id_col=id_col, text_col=text_col, token_col=token_col,
-        shard_tokens=shard_tokens,
+    manifest = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+        F.sum("_ck").alias("content_checksum"),
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "_manifest"))
     return manifest

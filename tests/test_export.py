@@ -108,3 +108,16 @@ def test_export_shards_roundtrip(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
+
+
+def test_shard_manifest_plan_has_no_corpus_join(spark):
+    """with_shard_id keeps all columns, so the manifest must plan ZERO
+    corpus-side joins — the only join allowed is the broadcast of the
+    O(P) partition offsets from the distributed cumsum."""
+    plan = (
+        shard_manifest(_docs(spark), shard_tokens=BUDGET)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "rangepartitioning" in plan.lower()  # distributed cumsum engaged
