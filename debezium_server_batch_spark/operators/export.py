@@ -177,3 +177,40 @@ def export_shards(
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "_manifest"))
     return manifest
+
+
+def verify_shards(spark, out_dir: str, id_col: str = "doc_id",
+                  text_col: str = "text", token_col: str = "n_tokens") -> DataFrame:
+    """Loader-side integrity check: re-read `<out_dir>/data`, recompute
+    every manifest column per shard, and FULL-OUTER diff against the
+    stored `_manifest`. Returns one row per shard with an `ok` flag and
+    both sides of every field — `ok` is false for any dropped,
+    duplicated, truncated, or bit-flipped document, a missing shard, or
+    a shard on disk that the manifest never promised.
+
+    Scale shape: one scan of the dataset + a hash aggregate keyed on
+    shard_id (map-side combined), full-outer joined to the manifest —
+    both join sides are O(shards) rows, never O(docs). No sort, no
+    collect."""
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    got = (
+        data.withColumn("_ck", _content_ck(id_col, text_col))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("got_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("got_tokens"),
+            F.min(id_col).alias("got_first_id"),
+            F.max(id_col).alias("got_last_id"),
+            F.sum("_ck").alias("got_checksum"),
+        )
+    )
+    manifest = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    joined = manifest.join(got, "shard_id", "full_outer")
+    ok = (
+        (F.col("n_docs") == F.col("got_docs"))
+        & (F.col("n_tokens") == F.col("got_tokens"))
+        & (F.col("first_id") == F.col("got_first_id"))
+        & (F.col("last_id") == F.col("got_last_id"))
+        & (F.col("content_checksum") == F.col("got_checksum"))
+    )
+    return joined.withColumn("ok", F.coalesce(ok, F.lit(False)))

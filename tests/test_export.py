@@ -121,3 +121,34 @@ def test_shard_manifest_plan_has_no_corpus_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "rangepartitioning" in plan.lower()  # distributed cumsum engaged
+
+
+def test_verify_shards_detects_corruption(spark, tmp_path):
+    """Loader-side integrity: clean export verifies all-ok; deleting a
+    shard's file and doctoring another shard's parquet (drop a row) are
+    both caught, each flagged on exactly the right shard."""
+    import shutil
+
+    from debezium_server_batch_spark.operators.export import verify_shards
+
+    out = str(tmp_path / "vexport")
+    export_shards(_docs(spark), out, shard_tokens=BUDGET)
+    v = {r["shard_id"]: r["ok"] for r in verify_shards(spark, out).collect()}
+    assert v and all(v.values())
+
+    shard_dirs = sorted(
+        d for d in os.listdir(os.path.join(out, "data")) if d.startswith("shard_id=")
+    )
+    # corruption 1: drop shard 0's directory entirely (missing shard)
+    shutil.rmtree(os.path.join(out, "data", shard_dirs[0]))
+    # corruption 2: rewrite shard 1 with one document removed
+    s1 = os.path.join(out, "data", shard_dirs[1])
+    kept = spark.read.parquet(s1)
+    first = kept.agg(F.min("doc_id")).collect()[0][0]
+    trimmed = kept.filter(F.col("doc_id") != first).toPandas()
+    shutil.rmtree(s1)
+    spark.createDataFrame(trimmed).coalesce(1).write.parquet(s1)
+
+    bad_ids = {int(shard_dirs[0].split("=")[1]), int(shard_dirs[1].split("=")[1])}
+    v2 = {r["shard_id"]: r["ok"] for r in verify_shards(spark, out).collect()}
+    assert {sid for sid, ok in v2.items() if not ok} == bad_ids
