@@ -214,3 +214,248 @@ def verify_shards(spark, out_dir: str, id_col: str = "doc_id",
         & (F.col("content_checksum") == F.col("got_checksum"))
     )
     return joined.withColumn("ok", F.coalesce(ok, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Incremental export: CDC LakeTable -> shard tree, rewriting only what changed
+
+
+def _read_export_state(out_dir: str) -> dict | None:
+    import json
+
+    p = os.path.join(out_dir, "_export_state.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_export_state(out_dir: str, state: dict) -> None:
+    """Atomic tmp+fsync+replace — same discipline as the table format's
+    posix storage layer; the state only advances after the data and
+    manifest it describes are durable."""
+    import json
+
+    p = os.path.join(out_dir, "_export_state.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def export_incremental(
+    src,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+    shard_tokens: int = 1_000_000,
+    prepare=None,
+    force_full: bool = False,
+) -> dict:
+    """Incrementally sync a CDC-maintained LakeTable into an exported
+    shard tree — the last mile of the pipeline: events land in the
+    table (upserts + deletes), and each tick rewrites ONLY the shard
+    files whose documents changed, instead of re-sharding the corpus.
+
+    Contiguous token-budget boundaries cannot stay globally exact under
+    updates (any token-count change would shift every downstream
+    boundary — a full rewrite by construction). So after the first full
+    export, boundaries are FROZEN from the manifest: a changed document
+    goes to the shard whose `first_id` range covers its id (the
+    resumable-loader seek rule), documents with ids beyond the exported
+    range pack into NEW shards continuing the id order, and shard token
+    counts drift from the budget over time. `force_full=True` re-shards
+    from scratch to re-balance (run it on a maintenance cadence, like
+    compaction).
+
+    Exactly-once: the consumed `src_version` is written to
+    `_export_state.json` (atomic replace) only AFTER the data and
+    manifest writes; a crash anywhere redoes the tick, and the redo is
+    byte-identical because every rewrite is a deterministic function of
+    the table state at (since, cur]. Upstream vacuum-horizon loss or a
+    rollback below the consumed version falls back to a full re-export
+    (the shard tree has no history to roll back; a full export is
+    always correct). In-range rollbacks net out inside `changes()`.
+
+    `prepare(df) -> df`: optional map from live table rows to export
+    rows (must keep `id_col` and produce `text_col`/`token_col`);
+    deletes are keyed by id and never pass through it. The table's key
+    column must be `id_col`.
+
+    Scale shape: one changes() scan (O(new files)), an LWW collapse, a
+    broadcast range-join against the O(shards) boundary list, a scan of
+    ONLY the touched shards' files (partition-pruned), and a dynamic
+    partition overwrite of only those directories. Driver-side state is
+    O(shards touched + manifest rows), never O(docs).
+
+    Returns {"src_version", "noop", "bootstrap", "docs_upserted",
+    "docs_deleted", "shards_rewritten", "shards_new",
+    "shards_emptied"}."""
+    import shutil
+
+    from debezium_server_batch_spark.operators.dedup import lww_agg
+    from debezium_server_batch_spark.plans.laketable import (
+        RollbackBeyondCheckpointError,
+    )
+
+    spark = src.spark
+    cur = src.published_version()
+    if cur is None:
+        cur = src.current_version()
+    state = _read_export_state(out_dir)
+    since = state["src_version"] if state else -1
+    stats = {"src_version": cur, "noop": False, "bootstrap": False,
+             "docs_upserted": 0, "docs_deleted": 0, "shards_rewritten": 0,
+             "shards_new": 0, "shards_emptied": 0}
+    if not force_full and since == cur:
+        return {**stats, "noop": True}
+
+    snap = src.snapshot()
+    key = snap["key_col"]
+    if not isinstance(key, str) or key != id_col:
+        raise ValueError(
+            f"export_incremental requires the table key ({key!r}) to be id_col ({id_col!r})"
+        )
+
+    ch = None
+    bootstrap = force_full or since < 0
+    if not bootstrap:
+        try:
+            ch = src.changes(since, cur).drop("_commit_version")
+        except (FileNotFoundError, RollbackBeyondCheckpointError):
+            bootstrap = True  # horizon lost or history undone: full re-export
+
+    if bootstrap:
+        live = src.read(version=cur)
+        if prepare is not None:
+            live = prepare(live)
+        m = export_shards(
+            live, out_dir, id_col=id_col, text_col=text_col,
+            token_col=token_col, shard_tokens=shard_tokens,
+        )
+        n_shards = m.count()
+        live_n = spark.read.parquet(os.path.join(out_dir, "data")).count()
+        _write_export_state(out_dir, {"src_version": cur, "shard_tokens": shard_tokens})
+        return {**stats, "bootstrap": True, "docs_upserted": live_n,
+                "shards_new": n_shards}
+
+    collapsed = lww_agg(ch, key=key, order_by=tuple(snap["order_by"]))
+    is_del = F.coalesce(F.col("__deleted").cast("boolean"), F.lit(False))
+    collapsed = collapsed.persist()
+    try:
+        dead_ids = collapsed.filter(is_del).select(F.col(id_col))
+        live = collapsed.filter(~is_del)
+        if prepare is not None:
+            live = prepare(live)
+
+        # frozen boundaries from the manifest (O(shards), driver-side)
+        man_path = os.path.join(out_dir, "_manifest")
+        man_rows = sorted(
+            spark.read.parquet(man_path).collect(), key=lambda r: r["shard_id"]
+        )
+        max_last = max((r["last_id"] for r in man_rows), default=None)
+        max_shard = max((r["shard_id"] for r in man_rows), default=-1)
+        bounds = [
+            (r["shard_id"],
+             None if i == 0 else r["first_id"],
+             man_rows[i + 1]["first_id"] if i + 1 < len(man_rows) else None)
+            for i, r in enumerate(man_rows)
+        ]
+        bdf = spark.createDataFrame(bounds, "shard_id long, lo long, hi long")
+
+        def to_shard(df):
+            cond = (
+                (F.col("lo").isNull() | (F.col(id_col) >= F.col("lo")))
+                & (F.col("hi").isNull() | (F.col(id_col) < F.col("hi")))
+            )
+            return df.join(F.broadcast(bdf), cond).drop("lo", "hi")
+
+        in_range = F.lit(max_last is not None) & (F.col(id_col) <= F.lit(max_last))
+        upd = to_shard(live.filter(in_range))
+        dels = to_shard(dead_ids.filter(in_range))  # unknown/out-of-range ids: no-op
+        new_docs = live.filter(~in_range)
+
+        # new documents pack into NEW shards continuing the id order
+        new_assigned = global_running_total(new_docs, id_col, token_col).withColumn(
+            "shard_id",
+            (F.lit(max_shard + 1)
+             + F.floor(((F.col("_cum") - F.col(token_col)).cast("long"))
+                       / F.lit(shard_tokens))).cast("long"),
+        ).drop("_cum")
+
+        changed_ids = (
+            upd.select(id_col).union(dels.select(id_col)).distinct()
+        )
+        touched = sorted(
+            r["shard_id"]
+            for r in upd.select("shard_id").union(dels.select("shard_id"))
+            .distinct().collect()
+        )
+
+        data_path = os.path.join(out_dir, "data")
+        out_cols = [id_col, text_col, token_col, "shard_id"]
+        parts = []
+        if touched:
+            survivors = (
+                spark.read.parquet(data_path)
+                .filter(F.col("shard_id").isin(touched))
+                .join(changed_ids, id_col, "left_anti")
+            )
+            parts.append(survivors.select(*out_cols))
+            parts.append(upd.select(*out_cols))
+        parts.append(new_assigned.select(*out_cols))
+        rewritten = parts[0]
+        for p in parts[1:]:
+            rewritten = rewritten.unionByName(p)
+        # localCheckpoint: the plan reads the same partitions the write
+        # below overwrites; truncating lineage materializes the rows
+        # first (O(touched shards), the write's own input) and satisfies
+        # Spark's read-path/write-path conflict check
+        rewritten = rewritten.localCheckpoint()
+
+        present = {r["shard_id"] for r in rewritten.select("shard_id").distinct().collect()}
+        (
+            rewritten.repartition(F.col("shard_id"))
+            .sortWithinPartitions(id_col)
+            .write.partitionBy("shard_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(data_path)
+        )
+        emptied = [s for s in touched if s not in present]
+        for s in emptied:
+            shutil.rmtree(os.path.join(data_path, f"shard_id={s}"), ignore_errors=True)
+
+        recomputed = (
+            rewritten.withColumn("_ck", _content_ck(id_col, text_col))
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+                F.min(id_col).alias("first_id"),
+                F.max(id_col).alias("last_id"),
+                F.sum("_ck").alias("content_checksum"),
+            )
+        )
+        untouched = [r for r in man_rows if r["shard_id"] not in set(touched)]
+        man_new = recomputed
+        if untouched:
+            man_new = spark.createDataFrame(untouched, recomputed.schema).unionByName(
+                recomputed
+            )
+        man_new.coalesce(1).write.mode("overwrite").parquet(man_path)
+        _write_export_state(out_dir, {"src_version": cur, "shard_tokens": shard_tokens})
+
+        return {
+            **stats,
+            "docs_upserted": upd.count() + new_assigned.count(),
+            "docs_deleted": dels.count(),
+            "shards_rewritten": len(touched),
+            "shards_new": len({s for s in present if s > max_shard}),
+            "shards_emptied": len(emptied),
+        }
+    finally:
+        collapsed.unpersist()

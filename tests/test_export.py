@@ -152,3 +152,124 @@ def test_verify_shards_detects_corruption(spark, tmp_path):
     bad_ids = {int(shard_dirs[0].split("=")[1]), int(shard_dirs[1].split("=")[1])}
     v2 = {r["shard_id"]: r["ok"] for r in verify_shards(spark, out).collect()}
     assert {sid for sid, ok in v2.items() if not ok} == bad_ids
+
+
+# ---------------------------------------------------------------------------
+# Incremental export: CDC LakeTable -> shard tree
+
+
+def _doc_table(spark, tmp_path, name="src"):
+    from pyspark.sql import types as T
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("__lsn", T.LongType(), True),
+            T.StructField("__deleted", T.BooleanType(), True),
+        ]
+    )
+    return (
+        LakeTable.create(
+            spark, str(tmp_path / name), schema, key_col="doc_id",
+            num_buckets=4, order_by=("__lsn",),
+        ),
+        schema,
+    )
+
+
+def _doc_rows(i0, i1, lsn, prefix="w"):
+    rows = []
+    for i in range(i0, i1):
+        k = (i % 7) + 2
+        rows.append((i, " ".join(f"{prefix}{i}_{j}" for j in range(k)), k, lsn, False))
+    return rows
+
+
+def _disk_state(spark, out):
+    return sorted(
+        (r["doc_id"], r["text"], r["n_tokens"])
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    )
+
+
+def _table_state(src):
+    return sorted(
+        (r["doc_id"], r["text"], r["n_tokens"])
+        for r in src.read().select("doc_id", "text", "n_tokens").collect()
+    )
+
+
+def test_export_incremental_end_to_end(spark, tmp_path):
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+
+    # bootstrap: 40 docs
+    src.merge(spark.createDataFrame(_doc_rows(0, 40, lsn=1), schema))
+    s1 = export_incremental(src, out, shard_tokens=30)
+    assert s1["bootstrap"] and s1["docs_upserted"] == 40
+    assert _disk_state(spark, out) == _table_state(src)
+    v = verify_shards(spark, out).collect()
+    assert v and all(r["ok"] for r in v)
+    n_shards0 = len(v)
+
+    # no new commits -> noop
+    assert export_incremental(src, out, shard_tokens=30)["noop"]
+
+    # tick 2: update doc 5 (longer text), delete doc 12, insert 100..103
+    upd = [(5, "updated text with quite a few more tokens", 8, 10, False)]
+    dele = [(12, None, None, 11, True)]
+    new = _doc_rows(100, 104, lsn=12, prefix="n")
+    src.merge(spark.createDataFrame(upd + dele + new, schema))
+    s2 = export_incremental(src, out, shard_tokens=30)
+    assert not s2["bootstrap"] and not s2["noop"]
+    assert s2["docs_deleted"] == 1 and s2["docs_upserted"] == 1 + 4
+    assert s2["shards_new"] >= 1
+    # only the shards holding docs 5 and 12 were rewritten
+    assert 1 <= s2["shards_rewritten"] <= 2
+    assert _disk_state(spark, out) == _table_state(src)
+    v2 = verify_shards(spark, out).collect()
+    assert all(r["ok"] for r in v2) and len(v2) >= n_shards0 + 1
+
+    # crash-redo: lose the state file after the tick -> redo is byte-stable
+    before = _disk_state(spark, out)
+    os.remove(os.path.join(out, "_export_state.json"))
+    s3 = export_incremental(src, out, shard_tokens=30)
+    assert s3["bootstrap"]  # no state -> full re-export, always correct
+    assert _disk_state(spark, out) == before == _table_state(src)
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+
+def test_export_incremental_empties_a_shard(spark, tmp_path):
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 30, lsn=1), schema))
+    export_incremental(src, out, shard_tokens=25)
+    man = {
+        r["shard_id"]: (r["first_id"], r["last_id"])
+        for r in spark.read.parquet(os.path.join(out, "_manifest")).collect()
+    }
+    # delete every doc of the highest shard
+    sid, (lo, hi) = max(man.items())
+    dels = [(i, None, None, 5, True) for i in range(lo, hi + 1)]
+    src.merge(spark.createDataFrame(dels, schema))
+    s = export_incremental(src, out, shard_tokens=25)
+    assert s["shards_emptied"] == 1
+    assert not os.path.exists(os.path.join(out, "data", f"shard_id={sid}"))
+    assert _disk_state(spark, out) == _table_state(src)
+    res = verify_shards(spark, out).collect()
+    assert all(r["ok"] for r in res)
+    assert sid not in {r["shard_id"] for r in res}
