@@ -353,9 +353,8 @@ def export_incremental(
 
         # frozen boundaries from the manifest (O(shards), driver-side)
         man_path = os.path.join(out_dir, "_manifest")
-        man_rows = sorted(
-            spark.read.parquet(man_path).collect(), key=lambda r: r["shard_id"]
-        )
+        man_df = spark.read.parquet(man_path)
+        man_rows = sorted(man_df.collect(), key=lambda r: r["shard_id"])
         max_last = max((r["last_id"] for r in man_rows), default=None)
         max_shard = max((r["shard_id"] for r in man_rows), default=-1)
         bounds = [
@@ -364,7 +363,18 @@ def export_incremental(
              man_rows[i + 1]["first_id"] if i + 1 < len(man_rows) else None)
             for i, r in enumerate(man_rows)
         ]
-        bdf = spark.createDataFrame(bounds, "shard_id long, lo long, hi long")
+        # id columns inherit the manifest's type, so string/long keys both work
+        from pyspark.sql import types as T
+
+        id_type = man_df.schema["first_id"].dataType if man_rows else T.LongType()
+        bdf = spark.createDataFrame(
+            bounds,
+            T.StructType([
+                T.StructField("shard_id", T.LongType()),
+                T.StructField("lo", id_type),
+                T.StructField("hi", id_type),
+            ]),
+        )
 
         def to_shard(df):
             cond = (

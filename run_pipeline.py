@@ -172,6 +172,25 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--fault-rate", type=float, default=0.05)
     rs.add_argument("--fault-seed", type=int, default=0)
 
+    ex = sub.add_parser("export", help="sync the table into a token-budget shard "
+                        "tree (data/shard_id=N parquet + _manifest + _export_state.json): "
+                        "first run = full export, later runs rewrite ONLY shards whose "
+                        "documents changed since the consumed table version")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--shard-tokens", type=int, default=100_000)
+    ex.add_argument("--id-col", default="url")
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--token-col", default="n_tokens",
+                    help="token-count column; derived with token_count(text) when absent")
+    ex.add_argument("--full", action="store_true",
+                    help="force a full re-export (re-balances frozen shard boundaries)")
+    ex.add_argument("--verify", action="store_true",
+                    help="run the loader-side integrity diff after the sync")
+    ex.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
+    ex.add_argument("--fault-rate", type=float, default=0.05)
+    ex.add_argument("--fault-seed", type=int, default=0)
+
     rb = sub.add_parser("rollback", help="roll the table back to an earlier snapshot "
                         "(bad-batch recovery; metadata-only, checkpoints roll back with the data)")
     rb.add_argument("--table", required=True)
@@ -381,6 +400,46 @@ def main(argv: list[str] | None = None) -> int:
                 "to_buckets": args.buckets,
                 "rows": t.total_rows(),
             }))
+
+        elif args.cmd == "export":
+            from pyspark.sql import functions as F
+
+            from debezium_server_batch_spark.functions.text import token_count
+            from debezium_server_batch_spark.operators.export import (
+                export_incremental,
+                verify_shards,
+            )
+            from debezium_server_batch_spark.plans.laketable import LakeTable
+
+            t = LakeTable.load(
+                spark,
+                args.table,
+                storage=_make_storage(args.storage, args.fault_rate, args.fault_seed),
+            )
+            prepare = None
+            if args.token_col not in t.schema().fieldNames():
+                def prepare(df, _tc=args.token_col, _xc=args.text_col):
+                    return df.withColumn(_tc, token_count(F.col(_xc)).cast("long"))
+            stats = export_incremental(
+                t,
+                args.out,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                token_col=args.token_col,
+                shard_tokens=args.shard_tokens,
+                prepare=prepare,
+                force_full=args.full,
+            )
+            if args.verify:
+                stats["verify_failed_shards"] = (
+                    verify_shards(
+                        spark, args.out, id_col=args.id_col,
+                        text_col=args.text_col, token_col=args.token_col,
+                    )
+                    .filter(~F.col("ok"))
+                    .count()
+                )
+            print(json.dumps(stats))
 
         elif args.cmd == "compact":
             from debezium_server_batch_spark.plans.laketable import LakeTable

@@ -184,3 +184,60 @@ def test_cli_fsck_exit_codes(spark, tiny_log, tmp_path, capsys):
     assert main(["fsck", "--table", root]) == 1
     rep = _last_json(capsys)
     assert not rep["ok"]
+
+
+def test_cli_export_bootstrap_incremental_noop(spark, tiny_log, tmp_path, capsys):
+    """`export` syncs the table into a shard tree: first run = full
+    export, second run after more replay rewrites only changed shards,
+    third run is a noop; --verify pins zero integrity failures and the
+    tree equals the table byte-for-byte after every tick."""
+    import os
+
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    root = str(tmp_path / "pages")
+    out = str(tmp_path / "shards")
+
+    def _export():
+        rc = main([
+            "export", "--table", root, "--out", out,
+            "--shard-tokens", "2000", "--verify",
+        ])
+        assert rc == 0
+        return _last_json(capsys)
+
+    def _disk_eq_table():
+        t = LakeTable.load(spark, root)
+        table = sorted((r["url"], r["text"]) for r in t.read().select("url", "text").collect())
+        disk = sorted(
+            (r["url"], r["text"])
+            for r in spark.read.parquet(os.path.join(out, "data")).select("url", "text").collect()
+        )
+        assert table == disk
+
+    rc = main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "80", "--buckets", "4", "--max-batches", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    s1 = _export()
+    assert s1["bootstrap"] and s1["verify_failed_shards"] == 0 and s1["shards_new"] >= 1
+    _disk_eq_table()
+
+    rc = main([
+        "replay", "--log", tiny_log, "--table", root,
+        "--batch-events", "80", "--buckets", "4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    s2 = _export()
+    assert not s2["bootstrap"] and not s2["noop"]
+    assert s2["verify_failed_shards"] == 0
+    assert s2["docs_upserted"] + s2["docs_deleted"] > 0
+    _disk_eq_table()
+
+    s3 = _export()
+    assert s3["noop"] and s3["verify_failed_shards"] == 0
