@@ -11,7 +11,8 @@ what a pretraining loader actually consumes and are first-class here.
 
 Everything is engine-portable and deterministic: shard assignment is
 the same contiguous token-cumsum as `operators/sampling.pack_documents`
-(window scan — no RNG, no partition-layout dependence), and the
+(unstratified: the range-partitioned two-level distributed cumsum — no
+RNG, no partition-layout dependence, no single-task window), and the
 checksum is a DECIMAL(38,0) sum of 60-bit md5 prefixes — decimal
 addition is associative, md5 is standardized, so a DuckDB/Trino
 manifest recomputation matches bit-for-bit (same two tricks the rest
