@@ -329,10 +329,27 @@ def export_incremental(
         except (FileNotFoundError, RollbackBeyondCheckpointError):
             bootstrap = True  # horizon lost or history undone: full re-export
 
+    def _export_cols(df):
+        """The exported width: the prepared frame minus CDC bookkeeping
+        (`__*` columns) — an exported training corpus carries payload,
+        not replication metadata, and BOTH the bootstrap and the
+        incremental rewrite must emit the same schema (a narrower
+        rewrite would silently fork touched shards' parquet schema
+        from untouched ones)."""
+        cols = [c for c in df.columns if not c.startswith("__")]
+        for required in (id_col, text_col, token_col):
+            if required not in cols:
+                raise ValueError(
+                    f"prepared frame is missing required column {required!r} "
+                    f"(have {cols})"
+                )
+        return cols
+
     if bootstrap:
         live = src.read(version=cur)
         if prepare is not None:
             live = prepare(live)
+        live = live.select(*_export_cols(live))
         m = export_shards(
             live, out_dir, id_col=id_col, text_col=text_col,
             token_col=token_col, shard_tokens=shard_tokens,
@@ -407,7 +424,7 @@ def export_incremental(
         )
 
         data_path = os.path.join(out_dir, "data")
-        out_cols = [id_col, text_col, token_col, "shard_id"]
+        out_cols = _export_cols(live) + ["shard_id"]
         parts = []
         if touched:
             survivors = (
@@ -415,12 +432,16 @@ def export_incremental(
                 .filter(F.col("shard_id").isin(touched))
                 .join(changed_ids, id_col, "left_anti")
             )
-            parts.append(survivors.select(*out_cols))
+            parts.append(survivors)
             parts.append(upd.select(*out_cols))
         parts.append(new_assigned.select(*out_cols))
         rewritten = parts[0]
         for p in parts[1:]:
-            rewritten = rewritten.unionByName(p)
+            # allowMissingColumns: a column added upstream between ticks
+            # is absent in old shard files — survivors fill it with NULL
+            # instead of failing the tick
+            rewritten = rewritten.unionByName(p, allowMissingColumns=True)
+        rewritten = rewritten.select(*out_cols)
         # localCheckpoint: the plan reads the same partitions the write
         # below overwrites; truncating lineage materializes the rows
         # first (O(touched shards), the write's own input) and satisfies

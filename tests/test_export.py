@@ -273,3 +273,59 @@ def test_export_incremental_empties_a_shard(spark, tmp_path):
     res = verify_shards(spark, out).collect()
     assert all(r["ok"] for r in res)
     assert sid not in {r["shard_id"] for r in res}
+
+
+def test_export_incremental_schema_consistent_no_bookkeeping(spark, tmp_path):
+    """The exported width must be identical on the bootstrap and
+    incremental paths — payload columns (here `lang`) survive a
+    rewrite, CDC bookkeeping (__lsn/__deleted) never reaches disk, and
+    touched shards' parquet schema equals untouched shards'."""
+    from pyspark.sql import types as T
+
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+    from debezium_server_batch_spark.plans.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("__lsn", T.LongType(), True),
+            T.StructField("__deleted", T.BooleanType(), True),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key_col="doc_id",
+        num_buckets=4, order_by=("__lsn",),
+    )
+    out = str(tmp_path / "export")
+
+    rows = [
+        (i, f"text {i} " + "w " * (i % 5), (i % 5) + 2, "en" if i % 2 else "de", 1, False)
+        for i in range(20)
+    ]
+    src.merge(spark.createDataFrame(rows, schema))
+    export_incremental(src, out, shard_tokens=15)
+
+    # incremental tick: update one doc, add one beyond the range
+    src.merge(spark.createDataFrame(
+        [(3, "updated three", 2, "fr", 9, False),
+         (50, "brand new", 2, "en", 9, False)], schema))
+    s = export_incremental(src, out, shard_tokens=15)
+    assert not s["bootstrap"] and s["shards_rewritten"] >= 1
+
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert sorted(back.columns) == ["doc_id", "lang", "n_tokens", "shard_id", "text"]
+    disk = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in back.collect()
+    )
+    table = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in src.read().select("doc_id", "text", "lang").collect()
+    )
+    assert disk == table
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
