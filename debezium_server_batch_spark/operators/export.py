@@ -481,10 +481,13 @@ def export_incremental(
         man_new.coalesce(1).write.mode("overwrite").parquet(man_path)
         _write_export_state(out_dir, {"src_version": cur, "shard_tokens": shard_tokens})
 
+        # counts come from the persisted collapse, not the shard joins:
+        # upserts = every live collapsed row (in-range + new), deletes =
+        # in-range dead keys — no plan re-execution
         return {
             **stats,
-            "docs_upserted": upd.count() + new_assigned.count(),
-            "docs_deleted": dels.count(),
+            "docs_upserted": live.count(),
+            "docs_deleted": dead_ids.filter(in_range).count(),
             "shards_rewritten": len(touched),
             "shards_new": len({s for s in present if s > max_shard}),
             "shards_emptied": len(emptied),
