@@ -292,6 +292,13 @@ def export_incremental(
     partition overwrite of only those directories. Driver-side state is
     O(shards touched + manifest rows), never O(docs).
 
+    Single-writer contract: one exporter per out_dir at a time (run it
+    from the table's maintenance tick, like compaction). The shard tree
+    has no claim protocol of its own — two concurrent exporters would
+    race the dynamic overwrite; crash-redo safety (proven by
+    tools/export_sync_soak.py) covers sequential kills, not parallel
+    writers.
+
     Returns {"src_version", "noop", "bootstrap", "docs_upserted",
     "docs_deleted", "shards_rewritten", "shards_new",
     "shards_emptied"}."""

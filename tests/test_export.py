@@ -329,3 +329,80 @@ def test_export_incremental_schema_consistent_no_bookkeeping(spark, tmp_path):
     )
     assert disk == table
     assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+
+def test_export_incremental_randomized_ticks(spark, tmp_path):
+    """Randomized (seeded) CDC tick sequence: each tick applies a mixed
+    batch of updates, deletes, re-inserts of previously deleted ids,
+    and brand-new docs; after EVERY tick the shard tree must equal the
+    table exactly and pass the integrity diff. Catches interaction bugs
+    the hand-written scenarios miss (delete-then-reinsert lands back in
+    its frozen shard, repeated boundary drift, multi-tick new-shard
+    numbering)."""
+    import random
+
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    rng = random.Random(20260818)
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+
+    alive = {}
+    next_id = 60
+    # every event gets a DISTINCT increasing lsn (real CDC semantics):
+    # with tied order keys the engine's deterministic struct tie-break
+    # decides, which a batch-position mental model cannot predict
+    lsn_counter = [0]
+
+    def lsn():
+        lsn_counter[0] += 1
+        return lsn_counter[0]
+
+    def txt(i, tag):
+        k = (i % 7) + 2
+        return (" ".join(f"{tag}{i}_{j}" for j in range(k)), k)
+
+    rows = []
+    for i in range(60):
+        text, k = txt(i, "w")
+        rows.append((i, text, k, lsn(), False))
+        alive[i] = text
+    src.merge(spark.createDataFrame(rows, schema))
+    assert export_incremental(src, out, shard_tokens=40)["bootstrap"]
+
+    deleted = set()
+    for tick in range(4):
+        batch = []
+        ids = sorted(alive)
+        for i in rng.sample(ids, 6):  # updates
+            text, k = txt(i, f"t{tick}u")
+            batch.append((i, text, k, lsn(), False))
+            alive[i] = text
+        for i in rng.sample(sorted(alive), 3):  # deletes (may hit an update above)
+            batch.append((i, None, None, lsn(), True))
+            alive.pop(i, None)
+            deleted.add(i)
+        if deleted and tick >= 2:  # re-insert a previously deleted id
+            i = sorted(deleted)[0]
+            deleted.discard(i)
+            text, k = txt(i, f"t{tick}r")
+            batch.append((i, text, k, lsn(), False))
+            alive[i] = text
+        for _ in range(4):  # brand-new ids beyond the exported range
+            text, k = txt(next_id, f"t{tick}n")
+            batch.append((next_id, text, k, lsn(), False))
+            alive[next_id] = text
+            next_id += 1
+        src.merge(spark.createDataFrame(batch, schema))
+
+        s = export_incremental(src, out, shard_tokens=40)
+        assert not s["bootstrap"] and not s["noop"], (tick, s)
+        disk = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(os.path.join(out, "data")).collect()
+        }
+        assert disk == alive, f"tick {tick}: disk diverged from table"
+        assert all(r["ok"] for r in verify_shards(spark, out).collect()), tick
