@@ -501,3 +501,33 @@ def export_incremental(
         }
     finally:
         collapsed.unpersist()
+
+
+def read_id_range(spark, out_dir: str, lo=None, hi=None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Manifest-driven range read — the resumable-loader access path:
+    map an id-range predicate to the shard ids that can contain it
+    (O(shards) manifest scan, driver-side) and read ONLY those shard
+    directories, then apply the exact predicate. A loader resuming from
+    checkpoint id X touches ceil(remaining/shard_size) directories, not
+    the corpus.
+
+    `lo`/`hi` are inclusive bounds on `id_col`; either may be None.
+    Works because the manifest's first_id/last_id are a contiguity
+    contract over id-sorted shards (boundary drift from incremental
+    ticks is reflected in the patched manifest rows)."""
+    man = spark.read.parquet(os.path.join(out_dir, "_manifest")).collect()
+    keep = [
+        int(r["shard_id"])
+        for r in man
+        if (hi is None or r["first_id"] <= hi) and (lo is None or r["last_id"] >= lo)
+    ]
+    df = (
+        spark.read.parquet(os.path.join(out_dir, "data"))
+        .filter(F.col("shard_id").isin(keep) if keep else F.lit(False))
+    )
+    if lo is not None:
+        df = df.filter(F.col(id_col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(id_col) <= hi)
+    return df

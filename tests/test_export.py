@@ -406,3 +406,31 @@ def test_export_incremental_randomized_ticks(spark, tmp_path):
         }
         assert disk == alive, f"tick {tick}: disk diverged from table"
         assert all(r["ok"] for r in verify_shards(spark, out).collect()), tick
+
+
+def test_read_id_range_prunes_shards(spark, tmp_path):
+    """The manifest-driven range read returns exactly the requested ids
+    and its plan scans only the shard directories whose manifest range
+    intersects the predicate."""
+    from debezium_server_batch_spark.operators.export import read_id_range
+
+    out = str(tmp_path / "export")
+    export_shards(_docs(spark), out, shard_tokens=BUDGET)
+    man = spark.read.parquet(os.path.join(out, "_manifest")).collect()
+    # pick a range inside the second shard
+    second = sorted(man, key=lambda r: r["shard_id"])[1]
+    lo, hi = second["first_id"], second["last_id"]
+
+    df = read_id_range(spark, out, lo=lo, hi=hi)
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == list(range(lo, hi + 1))
+    # partition pruning: the scan must touch exactly one shard dir
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"partitions read[:\s]*(\d+)", plan, re.IGNORECASE)
+    if m:
+        assert int(m.group(1)) == 1, plan
+    # whole-tree read (no bounds) returns everything
+    assert read_id_range(spark, out).count() == 60
+    # empty intersection
+    assert read_id_range(spark, out, lo=10_000).count() == 0
