@@ -434,3 +434,27 @@ def test_read_id_range_prunes_shards(spark, tmp_path):
     assert read_id_range(spark, out).count() == 60
     # empty intersection
     assert read_id_range(spark, out, lo=10_000).count() == 0
+
+
+def test_shard_manifest_stratified(spark):
+    """Per-stratum sharding: shard ids restart at 0 within each stratum,
+    boundaries respect the per-stratum cumsum, and the union of per-
+    stratum manifests covers every document exactly once."""
+    d = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    m = shard_manifest(d, shard_tokens=BUDGET, stratum_col="lang").collect()
+    by_stratum = {}
+    for r in m:
+        by_stratum.setdefault(r["lang"], []).append(r)
+    assert set(by_stratum) == {"en", "de"}
+    total_docs = 0
+    for lang, rows in by_stratum.items():
+        rows.sort(key=lambda r: r["shard_id"])
+        assert rows[0]["shard_id"] == 0
+        assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+        # id ranges within a stratum are disjoint and ordered
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_id"] < b["first_id"]
+        total_docs += sum(r["n_docs"] for r in rows)
+    assert total_docs == 60
