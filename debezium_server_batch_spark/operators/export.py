@@ -367,6 +367,28 @@ def export_incremental(
         return {**stats, "bootstrap": True, "docs_upserted": live_n,
                 "shards_new": n_shards}
 
+    # schema-evolution gate: the shard tree must stay ONE schema — a
+    # partial rewrite after an upstream column add/drop would fork
+    # touched shards' parquet schema from untouched ones (readers
+    # without mergeSchema see an arbitrary subset). A changed export
+    # width forces a full re-export for this tick, like a re-balance.
+    probe = ch.limit(0)
+    if prepare is not None:
+        probe = prepare(probe)
+    disk_cols = [
+        c for c in spark.read.parquet(os.path.join(out_dir, "data")).columns
+        if c != "shard_id"
+    ]
+    if set(_export_cols(probe)) != set(disk_cols):
+        return {
+            **export_incremental(
+                src, out_dir, id_col=id_col, text_col=text_col,
+                token_col=token_col, shard_tokens=shard_tokens,
+                prepare=prepare, force_full=True,
+            ),
+            "schema_changed": True,
+        }
+
     collapsed = lww_agg(ch, key=key, order_by=tuple(snap["order_by"]))
     is_del = F.coalesce(F.col("__deleted").cast("boolean"), F.lit(False))
     collapsed = collapsed.persist()

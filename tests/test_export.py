@@ -458,3 +458,32 @@ def test_shard_manifest_stratified(spark):
             assert a["last_id"] < b["first_id"]
         total_docs += sum(r["n_docs"] for r in rows)
     assert total_docs == 60
+
+
+def test_export_incremental_schema_evolution_forces_full(spark, tmp_path):
+    """An upstream column add between ticks must NOT fork the shard
+    tree's parquet schema: the tick detects the changed export width,
+    falls back to a full re-export (flagged schema_changed), and the
+    whole tree carries the new column afterwards."""
+    from pyspark.sql import types as T
+
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 30, lsn=1), schema))
+    export_incremental(src, out, shard_tokens=25)
+
+    evolved = T.StructType(list(schema.fields) + [T.StructField("lang", T.StringType(), True)])
+    src.merge(spark.createDataFrame(
+        [(5, "updated five", 2, 9, False, "en")], evolved))
+    s = export_incremental(src, out, shard_tokens=25)
+    assert s.get("schema_changed") and s["bootstrap"]
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert "lang" in back.columns
+    langs = {r["doc_id"]: r["lang"] for r in back.collect()}
+    assert langs[5] == "en" and langs[6] is None and len(langs) == 30
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
