@@ -398,29 +398,33 @@ def export_incremental(
         if prepare is not None:
             live = prepare(live)
 
-        # frozen boundaries from the manifest (O(shards), driver-side)
+        # frozen boundaries from the manifest — kept IN SPARK: the only
+        # driver-side values are three scalars and the touched-shard
+        # list (O(touched)); the manifest itself (O(shards) — 10^6 rows
+        # at web scale) is never collected. localCheckpoint breaks the
+        # read-path lineage so the patched manifest can overwrite the
+        # same files it was derived from.
         man_path = os.path.join(out_dir, "_manifest")
-        man_df = spark.read.parquet(man_path)
-        man_rows = sorted(man_df.collect(), key=lambda r: r["shard_id"])
-        max_last = max((r["last_id"] for r in man_rows), default=None)
-        max_shard = max((r["shard_id"] for r in man_rows), default=-1)
-        bounds = [
-            (r["shard_id"],
-             None if i == 0 else r["first_id"],
-             man_rows[i + 1]["first_id"] if i + 1 < len(man_rows) else None)
-            for i, r in enumerate(man_rows)
-        ]
-        # id columns inherit the manifest's type, so string/long keys both work
-        from pyspark.sql import types as T
-
-        id_type = man_df.schema["first_id"].dataType if man_rows else T.LongType()
-        bdf = spark.createDataFrame(
-            bounds,
-            T.StructType([
-                T.StructField("shard_id", T.LongType()),
-                T.StructField("lo", id_type),
-                T.StructField("hi", id_type),
-            ]),
+        man = spark.read.parquet(man_path).localCheckpoint()
+        scal = man.agg(
+            F.max("last_id").alias("max_last"),
+            F.max("shard_id").alias("max_shard"),
+            F.min("shard_id").alias("min_shard"),
+        ).collect()[0]
+        max_last = scal["max_last"]
+        max_shard = scal["max_shard"] if scal["max_shard"] is not None else -1
+        # [lo, hi) per shard from first_id and the next shard's first_id;
+        # the minimum shard's lo is open (ids below the exported minimum
+        # still land somewhere). Single-partition window over the
+        # manifest only — metadata scale, and lo/hi inherit the real id
+        # type (string or numeric keys both work).
+        w_next = Window.orderBy("shard_id")
+        bdf = man.select(
+            "shard_id",
+            F.when(
+                F.col("shard_id") == F.lit(scal["min_shard"]), F.lit(None)
+            ).otherwise(F.col("first_id")).alias("lo"),
+            F.lead("first_id").over(w_next).alias("hi"),
         )
 
         def to_shard(df):
@@ -501,12 +505,16 @@ def export_incremental(
                 F.sum("_ck").alias("content_checksum"),
             )
         )
-        untouched = [r for r in man_rows if r["shard_id"] not in set(touched)]
-        man_new = recomputed
-        if untouched:
-            man_new = spark.createDataFrame(untouched, recomputed.schema).unionByName(
-                recomputed
-            )
+        # patch the manifest in Spark: untouched rows survive via an
+        # anti-join against the O(touched) id list, recomputed rows
+        # replace the touched ones (man is checkpointed, so the
+        # overwrite of its own source files is safe)
+        touched_df = spark.createDataFrame(
+            [(int(s),) for s in touched], "shard_id long"
+        )
+        man_new = man.join(
+            F.broadcast(touched_df), "shard_id", "left_anti"
+        ).unionByName(recomputed)
         man_new.coalesce(1).write.mode("overwrite").parquet(man_path)
         _write_export_state(out_dir, {"src_version": cur, "shard_tokens": shard_tokens})
 
