@@ -60,16 +60,13 @@ def with_shard_id(
 ) -> DataFrame:
     """df + a `shard_id` column, ALL other columns preserved — the
     zero-join way to shard a corpus: the running total is computed in
-    place (stratified: per-stratum window; unstratified:
-    `global_running_total`'s range-partitioned two-level cumsum), so
+    place by `global_running_total`'s range-partitioned two-level
+    cumsum (per-stratum when `stratum_col` is given — a dominant
+    stratum spans many partitions instead of serializing one task), so
     text/metadata never have to be joined back on id afterwards. At
     corpus scale that join is a corpus×corpus shuffle; this is one
     scan."""
-    if stratum_col:
-        w = Window.partitionBy(stratum_col).orderBy(F.col(id_col))
-        base = df.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
-    else:
-        base = global_running_total(df, id_col, token_col, num_partitions)
+    base = global_running_total(df, id_col, token_col, num_partitions, stratum_col)
     start = (F.col("_cum") - F.col(token_col)).cast("long")
     return base.withColumn(
         "shard_id", F.floor(start / F.lit(shard_tokens)).cast("long")

@@ -74,23 +74,29 @@ def global_running_total(
     id_col: str,
     token_col: str,
     num_partitions: int | None = None,
+    stratum_col: str | None = None,
 ) -> DataFrame:
-    """Id-ordered global running total of `token_col` as a `_cum` column
-    — WITHOUT the single-partition global window (`Window.orderBy(id)`
-    moves the whole corpus through ONE task; at web scale that is the
-    plan that never finishes).
+    """Id-ordered running total of `token_col` as a `_cum` column —
+    global, or per-stratum when `stratum_col` is given — WITHOUT a
+    serial window (`Window.orderBy(id)` moves the whole corpus through
+    ONE task; `Window.partitionBy(stratum)` moves the whole DOMINANT
+    stratum through one task — same wall at web scale, where one
+    language is half the corpus).
 
     Two-level scan, all stages parallel:
 
-    1. `repartitionByRange(P, id)` — contiguous id ranges, one per task.
-    2. per-partition window cumsum keyed on `spark_partition_id()` —
-       P parallel streams.
-    3. per-partition token totals (P rows) → exclusive prefix offsets
-       via a window over those P rows (trivially small) → BROADCAST
-       back and add. No driver collect anywhere.
+    1. `repartitionByRange(P, [stratum,] id)` — contiguous ranges, one
+       per task; a big stratum spans MANY partitions.
+    2. per-partition window cumsum keyed on `spark_partition_id()`
+       (and stratum) — P parallel streams regardless of stratum sizes.
+    3. per-(partition, stratum) token totals (≤ P + #strata rows:
+       range partitioning makes each stratum contiguous, so a partition
+       holds at most two partial strata) → exclusive prefix offsets per
+       stratum via a window over that tiny frame → BROADCAST back and
+       add. No driver collect anywhere.
 
-    Bit-identical to the single-window plan: ids are a total order,
-    range partitioning keeps equal ids together (window-peer semantics
+    Bit-identical to the window plan: (stratum, id) is a total order,
+    range partitioning keeps equal keys together (window-peer semantics
     preserved), and integer addition is associative.
 
     The ranged frame is persisted (MEMORY_AND_DISK): `spark_partition_id`
@@ -104,21 +110,28 @@ def global_running_total(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    strat = [F.col(stratum_col)] if stratum_col else []
+    strat_names = [stratum_col] if stratum_col else []
     ranged = (
-        df.repartitionByRange(num_partitions, F.col(id_col))
+        df.repartitionByRange(num_partitions, *strat, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tok = F.col(token_col).cast("long")
-    w_local = Window.partitionBy("_pid").orderBy(F.col(id_col))
+    w_local = Window.partitionBy("_pid", *strat_names).orderBy(F.col(id_col))
     local = ranged.withColumn("_lcum", F.sum(tok).over(w_local))
-    totals = ranged.groupBy("_pid").agg(F.sum(tok).alias("_ptot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totals = ranged.groupBy("_pid", *strat_names).agg(F.sum(tok).alias("_ptot"))
+    w_off = (
+        Window.partitionBy(*strat_names)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_poff")
+        "_pid", *strat_names,
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_poff"),
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), ["_pid"] + strat_names)
         .withColumn("_cum", (F.col("_poff") + F.col("_lcum")).cast("long"))
         .drop("_pid", "_lcum", "_poff")
     )
@@ -145,18 +158,14 @@ def pack_documents(
     Returns (id_col[, stratum_col], n_tokens, pack_id, pack_offset) —
     pack_offset = the doc's starting token offset within its pack.
 
-    100-TB shape: with `stratum_col` the running sum is a window scan —
-    sequential within a stratum, parallel across strata. WITHOUT a
-    stratum the global order is computed by `global_running_total`'s
-    range-partitioned two-level cumsum (P parallel streams + an O(P)
-    offset broadcast), never a single-partition window — so the
-    unstratified path (how `operators/export` shards a whole corpus)
-    scales with the cluster too."""
-    if stratum_col:
-        w = Window.partitionBy(stratum_col).orderBy(F.col(id_col))
-        base = df.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
-    else:
-        base = global_running_total(df, id_col, token_col, num_partitions)
+    100-TB shape: both paths run `global_running_total`'s range-
+    partitioned two-level cumsum (P parallel streams + a tiny offset
+    broadcast) — never a serial window. Unstratified, the serial plan
+    is the single-partition global window; stratified, it is the
+    dominant stratum (one language = half a web corpus) serializing
+    through one task. Here a big stratum spans many range partitions
+    and every stage stays parallel."""
+    base = global_running_total(df, id_col, token_col, num_partitions, stratum_col)
     start = (F.col("_cum") - F.col(token_col)).cast("long")
     cols = [F.col(id_col)] + ([F.col(stratum_col)] if stratum_col else [])
     return base.select(

@@ -167,3 +167,34 @@ def test_pack_documents_unstratified_is_distributed(spark):
         for r in pack_documents(one, budget=50, stratum_col="_s").collect()
     }
     assert got == ref
+
+
+def test_global_running_total_stratified_matches_window(spark):
+    """Per-stratum distributed cumsum == the per-stratum window plan,
+    for every partitioning and partition count — including a dominant
+    stratum that spans many range partitions."""
+    from pyspark.sql import Window
+
+    df = spark.range(211).select(
+        F.col("id").alias("doc_id"),
+        # dominant stratum: ~70% "en", the rest split across two tails
+        F.when(F.pmod(F.col("id"), F.lit(10)) < 7, "en")
+        .when(F.pmod(F.col("id"), F.lit(10)) < 9, "de")
+        .otherwise("fr").alias("lang"),
+        (F.pmod(F.col("id") * 13 + 5, F.lit(23)) + 1).alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ref = sorted(
+        (r["doc_id"], r["lang"], r["_cum"])
+        for r in df.withColumn("_cum", F.sum("n_tokens").over(w)).collect()
+    )
+    for in_parts in (1, 8):
+        for p in (1, 5, 64):
+            got = sorted(
+                (r["doc_id"], r["lang"], r["_cum"])
+                for r in global_running_total(
+                    df.repartition(in_parts), "doc_id", "n_tokens",
+                    num_partitions=p, stratum_col="lang",
+                ).collect()
+            )
+            assert got == ref, (in_parts, p)
