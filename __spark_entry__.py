@@ -870,6 +870,18 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline chunking: 64-token windows with 16-token
+    overlap over every document — map-only explode, no shuffle. The
+    oracle regenerates every window (boundaries AND re-joined text)
+    from the same trim+split token rule, so chunk placement and content
+    are equality-gated byte-for-byte."""
+    from debezium_server_batch_spark.functions.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BAD-BATCH RECOVERY through the table format: append
     the pre-cut ledger half (v1), append a POISONED second half (every
@@ -970,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rescale": q_cdc_rescale,
         "cdc_rollback": q_cdc_rollback,
         "shard_manifest": q_shard_manifest,
+        "doc_chunks": q_doc_chunks,
         "link_rank": q_link_rank,
     }
 
@@ -1714,6 +1727,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY event_type
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ), k AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n > 64 THEN 1 + (n - 64 + 47) // 48 ELSE 1 END AS nc
+              FROM t
+            )
+            , e AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS i
+              FROM k
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(toks[CAST(i*48 + 1 AS BIGINT):CAST(i*48 + 64 AS BIGINT)], ' ') AS chunk_text,
+                   CAST(least(64, n - i*48) AS BIGINT) AS n_tokens
+            FROM e
         """,
         "shard_manifest": """
             WITH t AS (

@@ -305,3 +305,67 @@ def clean_text_oracle_expr(expr: str, nfc: bool = True) -> str:
         r = rep.replace("\\", "\\\\").replace("'", "''")
         out = f"regexp_replace({out}, E'{p}', E'{r}', 'g')"
     return out
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+):
+    """Fixed-size token windows with overlap — the step between a
+    cleaned corpus and an embedding/training pipeline: split each
+    document into chunks of `chunk_tokens` whitespace tokens, each
+    chunk starting `chunk_tokens - overlap` tokens after the previous
+    one, the last chunk shortened to the document tail. Returns
+    (id, chunk_id, chunk_text, n_tokens); blank documents yield no
+    chunks.
+
+    Chunk-count rule (portable integer arithmetic, no float ceil):
+    1 chunk when n <= chunk_tokens, else 1 + (n - chunk_tokens +
+    stride - 1) // stride — the smallest k whose last window reaches
+    the end.
+
+    100-TB shape: pure codegen — split + transform(sequence) + slice +
+    posexplode, a map-only projection; output size is input size times
+    chunk/(chunk-overlap), no shuffle, no UDF. Token semantics are
+    exactly `token_count`'s (trim + split on \\s+), so the DuckDB
+    oracle reproduces chunk boundaries and text byte-for-byte."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(trimmed, r"\s+")
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.length(trimmed) > 0)
+        .withColumn("_n", F.size(F.col("_t")))
+    )
+    n_chunks = (
+        F.when(
+            F.col("_n") > chunk_tokens,
+            F.lit(1)
+            + ((F.col("_n") - chunk_tokens + (stride - 1)) / stride).cast("long"),
+        ).otherwise(F.lit(1))
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * stride + 1, chunk_tokens)),
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(windows).alias("chunk_id", "chunk_text"),
+            F.col("_n"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("_n") - F.col("chunk_id") * stride,
+            ).cast("long").alias("n_tokens"),
+        )
+    )

@@ -169,3 +169,48 @@ def test_clean_text_codegen_without_nfc(spark):
     assert out.collect()[0]["c"] == "a\nb"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_semantics(spark):
+    """Window coverage rules: single chunk when n <= chunk; overlapping
+    windows at stride = chunk - overlap; last chunk shortened to the
+    tail; stride-strided prefixes reconstruct the original token
+    stream; blank docs vanish."""
+    import pytest as _pytest
+
+    from debezium_server_batch_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # n=10 <= 8? no: chunk 8 below
+        (2, " ".join(f"x{i}" for i in range(5))),    # n=5 -> 1 chunk
+        (3, ""),                                      # blank -> no chunks
+        (4, "   "),                                   # whitespace only -> none
+        (5, " ".join(f"y{i}" for i in range(17))),   # n=17, chunk 8, stride 6 -> k=1+ceil(9/6)=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for v in got.values():
+        v.sort()
+    assert set(got) == {1, 2, 5}
+    # doc 2: one whole chunk
+    assert got[2] == [(0, " ".join(f"x{i}" for i in range(5)), 5)]
+    # doc 1: n=10 > 8 -> k = 1 + ceil(2/6) = 2; second starts at token 6
+    assert [c[0] for c in got[1]] == [0, 1]
+    assert got[1][0][1].split() == [f"w{i}" for i in range(8)]
+    assert got[1][1][1].split() == [f"w{i}" for i in range(6, 10)]
+    assert got[1][1][2] == 4
+    # doc 5: 3 chunks at starts 0, 6, 12; overlap = 2 tokens shared
+    assert [c[0] for c in got[5]] == [0, 1, 2]
+    assert got[5][1][1].split()[:2] == got[5][0][1].split()[-2:]
+    assert got[5][2][1].split() == [f"y{i}" for i in range(12, 17)]
+    # reconstruction: chunk i's tokens after the overlap prefix continue the stream
+    toks = []
+    for cid, text, _n in got[5]:
+        t = text.split()
+        toks.extend(t if cid == 0 else t[2:])
+    assert toks == [f"y{i}" for i in range(17)]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
