@@ -252,6 +252,7 @@ def export_incremental(
     shard_tokens: int = 1_000_000,
     prepare=None,
     force_full: bool = False,
+    to_version: int | None = None,
 ) -> dict:
     """Incrementally sync a CDC-maintained LakeTable into an exported
     shard tree — the last mile of the pipeline: events land in the
@@ -289,6 +290,14 @@ def export_incremental(
     partition overwrite of only those directories. Driver-side state is
     O(shards touched + manifest rows), never O(docs).
 
+    `to_version` pins the sync target to a specific table snapshot —
+    the reproducible-dataset-build contract ("dataset-v1 = table@v42"):
+    the tree lands exactly at that version's state, the recorded
+    src_version is the pin, and a later call without the pin advances
+    incrementally from v42 to the head. Syncing BACKWARD (to_version
+    below the already-consumed version) is refused — re-run with
+    `force_full=True` to rebuild the tree at the older snapshot.
+
     Single-writer contract: one exporter per out_dir at a time (run it
     from the table's maintenance tick, like compaction). The shard tree
     has no claim protocol of its own — two concurrent exporters would
@@ -307,11 +316,22 @@ def export_incremental(
     )
 
     spark = src.spark
-    cur = src.published_version()
-    if cur is None:
-        cur = src.current_version()
+    if to_version is not None:
+        head = src.current_version()
+        if to_version > head:
+            raise ValueError(f"to_version {to_version} is beyond the table head v{head}")
+        cur = to_version
+    else:
+        cur = src.published_version()
+        if cur is None:
+            cur = src.current_version()
     state = _read_export_state(out_dir)
     since = state["src_version"] if state else -1
+    if cur < since and not force_full:
+        raise ValueError(
+            f"shard tree already consumed v{since}; cannot sync backward to "
+            f"v{cur} incrementally — pass force_full=True to rebuild at that snapshot"
+        )
     stats = {"src_version": cur, "noop": False, "bootstrap": False,
              "docs_upserted": 0, "docs_deleted": 0, "shards_rewritten": 0,
              "shards_new": 0, "shards_emptied": 0}

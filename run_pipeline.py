@@ -185,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="token-count column; derived with token_count(text) when absent")
     ex.add_argument("--full", action="store_true",
                     help="force a full re-export (re-balances frozen shard boundaries)")
+    ex.add_argument("--to-version", type=int, default=None,
+                    help="pin the sync to a table snapshot (reproducible dataset builds)")
     ex.add_argument("--verify", action="store_true",
                     help="run the loader-side integrity diff after the sync")
     ex.add_argument("--storage", default="posix", choices=["posix", "condput", "flaky"])
@@ -429,6 +431,7 @@ def main(argv: list[str] | None = None) -> int:
                 shard_tokens=args.shard_tokens,
                 prepare=prepare,
                 force_full=args.full,
+                to_version=args.to_version,
             )
             if args.verify:
                 stats["verify_failed_shards"] = (

@@ -487,3 +487,41 @@ def test_export_incremental_schema_evolution_forces_full(spark, tmp_path):
     langs = {r["doc_id"]: r["lang"] for r in back.collect()}
     assert langs[5] == "en" and langs[6] is None and len(langs) == 30
     assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+
+def test_export_incremental_version_pinning(spark, tmp_path):
+    """Reproducible dataset builds: pin the sync to a table snapshot
+    (tree == table@vN while the table is already ahead), advance
+    incrementally to the head afterwards, refuse backward syncs unless
+    force_full rebuilds at the older snapshot."""
+    import pytest as _pytest
+
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 20, lsn=1), schema))      # v1
+    v1 = src.current_version()
+    src.merge(spark.createDataFrame(_doc_rows(20, 30, lsn=2), schema))     # v2
+
+    s1 = export_incremental(src, out, shard_tokens=25, to_version=v1)
+    assert s1["bootstrap"] and s1["src_version"] == v1
+    disk = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    assert disk == set(range(20))  # exactly the v1 state, not the head
+
+    s2 = export_incremental(src, out, shard_tokens=25)  # unpinned: advance to head
+    assert not s2["bootstrap"] and s2["docs_upserted"] == 10
+    assert _disk_state(spark, out) == _table_state(src)
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+    with _pytest.raises(ValueError, match="backward"):
+        export_incremental(src, out, shard_tokens=25, to_version=v1)
+    s3 = export_incremental(src, out, shard_tokens=25, to_version=v1, force_full=True)
+    assert s3["bootstrap"] and s3["src_version"] == v1
+    disk = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    assert disk == set(range(20))
+    with _pytest.raises(ValueError, match="beyond"):
+        export_incremental(src, out, to_version=99)
