@@ -525,3 +525,32 @@ def test_export_incremental_version_pinning(spark, tmp_path):
     assert disk == set(range(20))
     with _pytest.raises(ValueError, match="beyond"):
         export_incremental(src, out, to_version=99)
+
+
+def test_export_incremental_respects_wap_gate(spark, tmp_path):
+    """Staged (write-audit-publish) commits must NOT leak into the shard
+    tree: before publish the export sees only the published floor
+    (noop after the bootstrap), after publish one tick lands the
+    audited rows."""
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 15, lsn=1), schema))
+    export_incremental(src, out, shard_tokens=25)
+
+    stage = src.staging()
+    stage.merge(spark.createDataFrame(_doc_rows(15, 25, lsn=2), schema))
+    s = export_incremental(src, out, shard_tokens=25)
+    assert s["noop"], "staged commits leaked into the export"
+    disk = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    assert disk == set(range(15))
+
+    src.publish()
+    s2 = export_incremental(src, out, shard_tokens=25)
+    assert not s2["noop"] and s2["docs_upserted"] == 10
+    assert _disk_state(spark, out) == _table_state(src)
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
