@@ -554,3 +554,36 @@ def test_export_incremental_respects_wap_gate(spark, tmp_path):
     assert not s2["noop"] and s2["docs_upserted"] == 10
     assert _disk_state(spark, out) == _table_state(src)
     assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+
+def test_export_incremental_recovers_from_upstream_rollback(spark, tmp_path):
+    """Bad-batch recovery upstream: the table rolls back BELOW the
+    export's consumed version and re-appends clean data. The tick
+    cannot replay that incrementally (its consumed rows were undone) —
+    it must fall back to a full re-export and land exactly at the
+    recovered table state, poison rows absent."""
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 15, lsn=1), schema))
+    good_v = src.current_version()
+    # poison batch lands AND gets exported (the bad deploy)
+    poison = [(i, "POISON", 1, 2, False) for i in range(15, 20)]
+    src.merge(spark.createDataFrame(poison, schema))
+    export_incremental(src, out, shard_tokens=25)
+    disk = {r["text"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    assert "POISON" in disk
+
+    # operator rolls the table back below the consumed version, re-appends clean
+    src.rollback(good_v)
+    src.merge(spark.createDataFrame(_doc_rows(15, 20, lsn=3, prefix="clean"), schema))
+    s = export_incremental(src, out, shard_tokens=25)
+    assert s["bootstrap"], "rollback below the consumed version must force a full re-export"
+    assert _disk_state(spark, out) == _table_state(src)
+    disk = {r["text"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    assert not any(t == "POISON" for t in disk)
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
