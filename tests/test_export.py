@@ -587,3 +587,30 @@ def test_export_incremental_recovers_from_upstream_rollback(spark, tmp_path):
     disk = {r["text"] for r in spark.read.parquet(os.path.join(out, "data")).collect()}
     assert not any(t == "POISON" for t in disk)
     assert all(r["ok"] for r in verify_shards(spark, out).collect())
+
+
+def test_export_incremental_recovers_from_vacuum_horizon(spark, tmp_path):
+    """The export was down while the table vacuumed past its consumed
+    version (the wall every incremental consumer hits): changes() can
+    no longer be planned from the expired snapshot, so the tick must
+    re-bootstrap from the current state — correct, just O(table) once."""
+    from debezium_server_batch_spark.operators.export import (
+        export_incremental,
+        verify_shards,
+    )
+
+    src, schema = _doc_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    src.merge(spark.createDataFrame(_doc_rows(0, 10, lsn=1), schema))
+    export_incremental(src, out, shard_tokens=25)
+
+    # many commits + compaction + aggressive vacuum expire the consumed version
+    for k in range(4):
+        src.merge(spark.createDataFrame(_doc_rows(10 + 5 * k, 15 + 5 * k, lsn=2 + k), schema))
+    src.compact()
+    src.vacuum(keep_last=1)
+
+    s = export_incremental(src, out, shard_tokens=25)
+    assert _disk_state(spark, out) == _table_state(src)
+    assert all(r["ok"] for r in verify_shards(spark, out).collect())
+    assert s["bootstrap"], "expired horizon must re-bootstrap, not partially sync"
