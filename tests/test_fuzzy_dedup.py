@@ -196,7 +196,7 @@ def test_connected_components_nonconvergence_raises(spark):
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(ConvergenceError):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, local_threshold=0)
 
 
 def test_connected_components_long_chain_pointer_doubling(spark):
@@ -205,7 +205,10 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     from debezium_server_batch_spark.operators.dedup_fuzzy import connected_components
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(63)], "id_a long, id_b long")
-    comp = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=12).collect()}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=12, local_threshold=0).collect()
+    }
     assert set(comp.values()) == {0} and len(comp) == 64
 
 
@@ -339,3 +342,25 @@ def test_blocked_exact_cosine_equals_baseline(spark):
             ).collect()
         }
         assert got == base, f"mismatch at n_blocks={n_blocks}"
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """r7 optimization: the adaptive driver-side union-find fast path
+    (small pair sets) must produce the exact labeling of the distributed
+    min-label propagation — same vertices, same min-id components."""
+    from debezium_server_batch_spark.operators.dedup_fuzzy import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(12)]          # chain
+        + [(30, 40), (40, 35), (35, 30)]         # cycle with min 30
+        + [(100, 50)]                            # reversed-order pair
+        + [(77, 77)]                             # self-loop
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[12] == 0 and local[35] == 30 and local[100] == 50 and local[77] == 77
