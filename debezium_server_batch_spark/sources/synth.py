@@ -101,9 +101,26 @@ def generate_event_log(
         .otherwise(F.lit(base_k) + F.pmod(_h(seed, pid), F.lit(3)))
         .cast("int")
     )
+    # per-PAGE columns are computed BEFORE the revision explode: a page
+    # emits 3-64 revision events, and the token-loop base text (the
+    # expensive column — ~100 xxhash64+element_at per page) depends only
+    # on the page id, so hoisting it above the Generate evaluates it
+    # once per page instead of once per event (the explode then carries
+    # the ~1 KB string; measured ~2× faster generation, byte-identical
+    # output)
+    text_len = (F.lit(30) + F.pmod(_h(seed + 3, pid), F.lit(170))).cast("int")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    base_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), text_len - 1),
+            lambda j: F.element_at(vocab, (F.pmod(_h(seed + 4, pid * 1000 + j), F.lit(len(_VOCAB))) + 1).cast("int")),
+        ),
+    )
     df = (
         spark.range(n_pages)
         .withColumn("k", k)
+        .withColumn("_base_text", base_text)
         .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("k") - 1)))
     )
     i, kk = F.col("i"), F.col("k")
@@ -120,16 +137,7 @@ def generate_event_log(
     is_delete = op == "d"
 
     url = F.format_string("https://site-%d.example.com/page/%d", F.pmod(pid, F.lit(37)), pid)
-    text_len = (F.lit(30) + F.pmod(_h(seed + 3, pid), F.lit(170))).cast("int")
-    vocab = F.array(*[F.lit(w) for w in _VOCAB])
-    base_text = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), text_len - 1),
-            lambda j: F.element_at(vocab, (F.pmod(_h(seed + 4, pid * 1000 + j), F.lit(len(_VOCAB))) + 1).cast("int")),
-        ),
-    )
-    text = F.concat(base_text, F.lit(" rev"), i.cast("string"))
+    text = F.concat(F.col("_base_text"), F.lit(" rev"), i.cast("string"))
     lang = F.element_at(
         F.array(*[F.lit(lg) for lg in _LANGS]),
         (F.pmod(_h(seed + 5, pid), F.lit(len(_LANGS))) + 1).cast("int"),
