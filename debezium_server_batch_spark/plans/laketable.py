@@ -42,6 +42,7 @@ import threading
 import uuid
 from typing import Any
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -908,11 +909,22 @@ class LakeTable:
                 ),
             )
             part_cols.append("_day")
+        persisted = None
         if cluster_by_key:
             key0 = self._key_cols(snap)[0]
             n_parts = max(2 * par, n_buckets)
             if rows_hint is not None:
                 n_parts = max(1, min(n_parts, -(-rows_hint // 50_000)))
+            # repartitionByRange's boundary sampling evaluates the child
+            # a SECOND time — for rewrite paths the child is a full
+            # scan + LWW collapse, so the sample pass re-runs both.
+            # Materialize once (DISK_ONLY: rewrite inputs are table-
+            # sized; no executor-memory pressure) so sampling and the
+            # real exchange read the same materialization (measured
+            # compact 8.0s -> 5-6s at 600k events); released right
+            # after the write below.
+            persisted = wdf.persist(StorageLevel.DISK_ONLY)
+            wdf = persisted
             writer = (
                 wdf.repartitionByRange(n_parts, *part_cols, F.col(key0))
                 .sortWithinPartitions(*part_cols, key0)
@@ -937,7 +949,11 @@ class LakeTable:
             )
         if codec:
             writer = writer.option("compression", codec)
-        writer.parquet(out_dir)
+        try:
+            writer.parquet(out_dir)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
         manifest: dict[str, list[dict]] = {}
         if not any(e.startswith("_bucket=") for e in self._data_fs_names(out_dir)):
