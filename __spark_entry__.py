@@ -96,6 +96,21 @@ def _warm_session() -> None:
             "id", F.md5("t").alias("h")
         )
         sink(e.groupBy("id").agg(F.count(F.lit(1)).alias("n")))
+        # JSON envelope shapes (replay path): Jackson parser init +
+        # from_json/get_json_object codegen
+        js = p.select(
+            F.concat(
+                F.lit('{"schema":{"t":1},"payload":{"a":'),
+                F.col("id").cast("string"),
+                F.lit(',"b":"x"}}'),
+            ).alias("v")
+        )
+        sink(
+            js.select(
+                F.xxhash64(F.get_json_object("v", "$.schema")).alias("h"),
+                F.from_json("v", "payload struct<a:long,b:string>").alias("e"),
+            ).select("h", "e.payload.*")
+        )
         # one batch through EVERY Python worker: Arrow + worker spin-up
         import pandas as pd  # noqa: PLC0415
 
@@ -116,21 +131,30 @@ def _warm_session() -> None:
 _warm_session()
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read an input table with scale-adaptive scan fan-out.
+def _read(spark: SparkSession, sf_dir: str, table: str, fan_out: bool = False) -> DataFrame:
+    """Read an input table, optionally with scale-adaptive scan fan-out.
 
     The driver's testdata tables are single-file / single-row-group
-    parquet, so the scan plans as ONE task — and every per-row-heavy
-    operator (span md5, NFC, regex chains, shingle explodes) then runs
+    parquet, so the scan plans as ONE task — and a per-row-heavy
+    operator (span md5, shingle explode+hash, 13-gram mining) then runs
     single-threaded until its first exchange (guide §2.5 input skew /
     §6 split sizing: an unsplittable input serializes the map work).
-    When the planned scan parallelism is below the session's cores, a
-    round-robin repartition redistributes the rows BEFORE the per-row
-    work (Catalyst keeps the heavy projections above the exchange —
-    plan-asserted in plans/r07/). At real scale the input has at least
-    as many splits as cores and this is a no-op; the decision is made
-    from the actual planned partition count, never a constant."""
+    With fan_out=True, when the planned scan parallelism is below the
+    session's cores, a round-robin repartition redistributes the rows
+    BEFORE the per-row work (Catalyst keeps the heavy projections above
+    the exchange — plan-asserted in plans/r07/). At real scale the
+    input has at least as many splits as cores and this is a no-op; the
+    decision is made from the actual planned partition count, never a
+    constant.
+
+    fan_out defaults to False and is enabled per query from a 3-run
+    interleaved A/B (OPTIMIZATION_r07.md): it wins only where the
+    pre-exchange per-row work dominates (span/shingle/n-gram mining —
+    up to 3 s each at sf0.1); for queries whose first real operator is
+    already an exchange the extra shuffle is pure latency."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if not fan_out or os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
@@ -188,7 +212,7 @@ def q_shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs total — the boilerplate filter document-level dedup misses
     from debezium_server_batch_spark.operators.dedup import shared_span_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return shared_span_stats(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
 
 
@@ -198,7 +222,7 @@ def q_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remove keep their original text byte-for-byte
     from debezium_server_batch_spark.operators.dedup import remove_shared_spans
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return remove_shared_spans(docs, id_col="doc_id", text_col="text", k=8, min_docs=2)
 
 
@@ -208,7 +232,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id % 23 == 3 subset stands in for an eval set)
     from debezium_server_batch_spark.operators.dedup import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     bench = docs.filter(F.col("doc_id") % 23 == 3)
     return decontaminate(docs, bench, n=13, min_hits=1)
 
@@ -277,7 +301,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rules. Map-only; no shuffle.
     from debezium_server_batch_spark.functions.pii import pii_count, redact_pii
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -526,7 +550,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -538,7 +562,7 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.05)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -707,7 +731,7 @@ def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-checked end to end."""
     from debezium_server_batch_spark.operators.dedup_fuzzy import dedup_clusters
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
     return dedup_clusters(docs, pairs).select("doc_id", "canonical_id", "is_canonical")
 
