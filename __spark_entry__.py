@@ -277,7 +277,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule chain is pure codegen.
     from debezium_server_batch_spark.functions.text import clean_text
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     d = F.col("doc_id")
     seeded = docs.select(
         "doc_id",
@@ -531,7 +531,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, dominant-bigram share, longest same-token run (an
     aggregate() fold). Pure higher-order built-in expressions; the
     oracle recomputes the runs with gaps-and-islands SQL."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     f = repetition_features(F.col("text"))
     per_doc = docs.select(
         "doc_id",
@@ -575,7 +575,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's planted dupes sit at s ≥ 0.86 → ≤ 2e-10) the result equals
     the exact-Jaccard pair set the DuckDB oracle computes — a true
     equality check on the whole pipeline, verified in pytest too."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     pairs = minhash_near_dupes(docs, num_hashes=32, bands=16, shingle_k=5, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -973,7 +973,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard boundaries AND content integrity are equality-gated."""
     from debezium_server_batch_spark.operators.export import shard_manifest
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     with_tokens = docs.select(
         "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
     )
