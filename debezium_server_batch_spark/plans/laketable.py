@@ -969,6 +969,36 @@ class LakeTable:
         # recorded only on bucketed (compaction/CoW) writes so the
         # map-only MoR ingest path pays nothing.
         key0 = self._key_cols(snap)[0]
+        # r7 fast path: LOCAL paths with few files read their footers on
+        # the driver (~1 ms/file) instead of paying a Spark job
+        # (~0.3-0.5 s fixed cost per micro-batch write). Zone maps come
+        # from footer statistics ONLY for integral keys, where parquet
+        # stats are exact; string/float keys keep the distributed
+        # min/max aggregate (parquet may truncate string stats — a
+        # truncated bound is sound for pruning but would diverge from
+        # the aggregate the manifest always recorded). Remote stores and
+        # big commits keep the distributed scan.
+        key_dtype = self.schema(snap)[key0].dataType if key0 in [f.name for f in self.schema(snap).fields] else None
+        zone_by_footer = isinstance(
+            key_dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+        )
+        local = self._local_footer_entries(out_dir, key0 if zone_by_footer else None)
+        if local is not None and (zone_by_footer or key_dtype is None or not isinstance(
+            key_dtype,
+            (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.StringType,
+             T.FloatType, T.DoubleType, T.BooleanType),
+        )):
+            for path, rows, parts, zone in local:
+                rel = os.path.relpath(path, _uri_to_local(self.root))
+                entry = {"path": rel, "rows": rows, "schema_id": schema_id}
+                if "_day" in parts:
+                    entry["day"] = int(parts["_day"])
+                if zone is not None:
+                    entry["kmin"], entry["kmax"] = zone
+                manifest.setdefault(str(int(parts["_bucket"])), []).append(entry)
+            for b in manifest:
+                manifest[b].sort(key=lambda e: e["path"])
+            return manifest
         back = self.spark.read.parquet(out_dir)
         aggs = [F.count(F.lit(1)).alias("_n")]
         # zone types: only keys whose min/max come back as JSON-storable
@@ -1007,6 +1037,63 @@ class LakeTable:
             manifest[b].sort(key=lambda e: e["path"])
         return manifest
 
+    # driver-side footer crawl bound: above this many files the commit
+    # goes back to the distributed metadata scan (the driver crawl would
+    # serialize the commit; see _write_files_once)
+    MAX_DRIVER_FOOTER_FILES = 256
+
+    def _local_footer_entries(self, out_dir: str, zone_key: str | None = None):
+        """Parquet footers of a just-written LOCAL output dir, read on
+        the driver: [(abs_path, rows, partition_values, zone)] sorted by
+        path, where zone is (min, max) of `zone_key` from footer
+        statistics (exact for integral types) or None. Returns None —
+        caller falls back to the distributed metadata scan — when the
+        path is on a remote store or holds more than
+        MAX_DRIVER_FOOTER_FILES files."""
+        if "://" in out_dir and not out_dir.startswith("file:"):
+            return None
+        local = _uri_to_local(out_dir)
+        files: list[str] = []
+        for dirpath, _dirs, names in os.walk(local):
+            for fn in names:
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, fn))
+                    if len(files) > self.MAX_DRIVER_FOOTER_FILES:
+                        return None
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(files):
+            parts: dict[str, str] = {}
+            rel_dir = os.path.relpath(os.path.dirname(f), local)
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        parts[k] = v
+            md = pq.ParquetFile(f).metadata
+            zone = None
+            if zone_key is not None:
+                lo = hi = None
+                complete = md.num_row_groups > 0
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    st = None
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema == zone_key:
+                            st = col.statistics
+                            break
+                    if st is None or not st.has_min_max:
+                        complete = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if complete and lo is not None:
+                    zone = (lo, hi)
+            out.append((f, md.num_rows, parts, zone))
+        return out
+
     def _write_delta_files(self, *args, **kwargs) -> dict:
         return self._retry_write(
             lambda: self._write_delta_files_once(*args, **kwargs), "delta write"
@@ -1043,6 +1130,20 @@ class LakeTable:
         w.parquet(out_dir)
         if not any(f.endswith(".parquet") for f in self._data_fs_names(out_dir)):
             return {}
+        # r7: local few-file delta commits read row counts from parquet
+        # footers on the driver (exact; no zone maps on the delta path)
+        # instead of a Spark job — see _write_files_once
+        local = self._local_footer_entries(out_dir)
+        if local is not None:
+            entries = [
+                {
+                    "path": os.path.relpath(path, _uri_to_local(self.root)),
+                    "rows": rows,
+                    "schema_id": schema_id,
+                }
+                for path, rows, _parts, _zone in local
+            ]
+            return {"*": entries}
         counts = (
             self.spark.read.parquet(out_dir)
             .groupBy(F.col("_metadata.file_path").alias("_path"))
