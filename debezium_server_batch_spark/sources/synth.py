@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.connect_schema import struct_to_connect_schema_json
-from ..functions.text import wrap_text_as_html
 from ..operators.envelope import envelope_value
 
 DESTINATION = "testc.cdcdb.pages"
@@ -117,10 +116,27 @@ def generate_event_log(
             lambda j: F.element_at(vocab, (F.pmod(_h(seed + 4, pid * 1000 + j), F.lit(len(_VOCAB))) + 1).cast("int")),
         ),
     )
+    # the html-escaped base is also per-page: the per-revision suffix
+    # (" rev<i>") contains no escapable characters, so
+    # escape(base + suffix) == escape(base) + suffix and the per-event
+    # html build becomes a cheap concat+encode of the hoisted column
+    esc_base = F.replace(
+        F.replace(base_text, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")
+    )
+    # the Debezium KEY envelope is a function of the url → per page too
+    url_page = F.format_string(
+        "https://site-%d.example.com/page/%d", F.pmod(pid, F.lit(37)), pid
+    )
+    key_page = F.concat(
+        F.lit('{"schema":'), F.lit(_KEY_SCHEMA_JSON), F.lit(',"payload":'),
+        F.to_json(F.struct(url_page.alias("url"))), F.lit("}"),
+    )
     df = (
         spark.range(n_pages)
         .withColumn("k", k)
         .withColumn("_base_text", base_text)
+        .withColumn("_esc_base", esc_base)
+        .withColumn("_key", key_page)
         .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("k") - 1)))
     )
     i, kk = F.col("i"), F.col("k")
@@ -138,6 +154,16 @@ def generate_event_log(
 
     url = F.format_string("https://site-%d.example.com/page/%d", F.pmod(pid, F.lit(37)), pid)
     text = F.concat(F.col("_base_text"), F.lit(" rev"), i.cast("string"))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("_esc_base"),
+            F.lit(" rev"),
+            i.cast("string"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
     lang = F.element_at(
         F.array(*[F.lit(lg) for lg in _LANGS]),
         (F.pmod(_h(seed + 5, pid), F.lit(len(_LANGS))) + 1).cast("int"),
@@ -161,7 +187,7 @@ def generate_event_log(
     common = {
         "url": url,
         "warc_ts_ms": nullable(warc_ts_ms, "long"),
-        "html": nullable(wrap_text_as_html(text), "binary"),
+        "html": nullable(html, "binary"),
         "text": nullable(text),
         "lang": nullable(lang),
     }
@@ -173,15 +199,10 @@ def generate_event_log(
     value = F.when(
         i >= title_from_rev, envelope_value(payload_v2, SCHEMA_V2_JSON)
     ).otherwise(envelope_value(payload_v1, SCHEMA_V1_JSON))
-    key = F.concat(
-        F.lit('{"schema":'), F.lit(_KEY_SCHEMA_JSON), F.lit(',"payload":'),
-        F.to_json(F.struct(url.alias("url"))), F.lit("}"),
-    )
-
     return df.select(
         offset,
         F.lit(destination).alias("destination"),
-        key.alias("key"),
+        F.col("_key").alias("key"),
         value.alias("value"),
     )
 
