@@ -973,7 +973,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard boundaries AND content integrity are equality-gated."""
     from debezium_server_batch_spark.operators.export import shard_manifest
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
+    docs = _read(spark, sf_dir, "documents")
     with_tokens = docs.select(
         "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
     )
