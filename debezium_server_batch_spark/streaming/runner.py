@@ -42,7 +42,15 @@ from .pacing import NoBatchSizeWait
 
 class SchemaDrift(Exception):
     """Raised pre-commit when the optimistic single-pass parse met a
-    schema it didn't know — the window is redone on the grouped path."""
+    schema it didn't know. With ``retryable=True`` the unknown schemas
+    were captured from the window's observation and registered — the
+    window is redone as a SECOND one-pass fast window under the
+    refreshed union; otherwise (schema-less events) it is redone on the
+    grouped path, which owns inference."""
+
+    def __init__(self, message: str, retryable: bool = False):
+        super().__init__(message)
+        self.retryable = retryable
 
 
 def _failpoint(name: str, batch_id: int) -> None:
@@ -506,15 +514,24 @@ class CdcPipeline:
         )
 
     def _refresh_schema_cache(self, groups) -> None:
+        self._register_schema_pairs(
+            (h, sjson) for g in groups for h, sjson in g.member_schemas or []
+        )
+
+    def _register_schema_pairs(self, pairs) -> None:
+        """Add (schema_hash, connect-schema-json) pairs to the known-
+        schema cache and rebuild the union parse struct when anything new
+        arrived — shared by the grouped path (schemas learned from the
+        grouping aggregate) and the fast path's drift capture (schemas
+        learned from the observation)."""
         from ..functions.connect_schema import compile_connect_schema
         from ..plans.laketable import evolve_schema
 
         changed = False
-        for g in groups:
-            for h, sjson in g.member_schemas or []:
-                if sjson is not None and h not in self._known_schemas:
-                    self._known_schemas[h] = sjson
-                    changed = True
+        for h, sjson in pairs:
+            if sjson is not None and h not in self._known_schemas:
+                self._known_schemas[h] = sjson
+                changed = True
         if changed and self._known_schemas:
             structs = [compile_connect_schema(s) for s in self._known_schemas.values()]
             union = structs[0]
@@ -591,11 +608,28 @@ class CdcPipeline:
         import pyspark.sql.types as T
 
         ev = filter_tombstones(raw).withColumn(
+            "schema_str", F.get_json_object(F.col(VALUE), "$.schema")
+        ).withColumn(
             "schema_hash",
-            F.coalesce(F.xxhash64(F.get_json_object(F.col(VALUE), "$.schema")), F.lit(0)),
+            F.coalesce(F.xxhash64(F.col("schema_str")), F.lit(0)),
+        )
+        # unknown-schema capture (r7): the same observation that detects
+        # drift also collects the UNKNOWN schema documents (hash, json) —
+        # empty in the steady no-drift case — so a DDL window can
+        # register the new schemas and redo as a second ONE-PASS fast
+        # window instead of falling back to the two-pass grouped path
+        known = sorted(self._known_schemas)
+        unknown_doc = F.when(
+            ~F.col("schema_hash").isin(known),
+            F.struct(F.col("schema_hash").alias("h"), F.col("schema_str").alias("s")),
         )
         obs = Observation()
-        ev = ev.observe(obs, F.collect_set("schema_hash").alias("hashes"), F.count(F.lit(1)).alias("n"))
+        ev = ev.observe(
+            obs,
+            F.collect_set("schema_hash").alias("hashes"),
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(unknown_doc).alias("unknown_docs"),
+        )
         wrapper = T.StructType([T.StructField("payload", self._union_struct, True)])
         typed = ev.select(
             F.col(OFFSET), F.from_json(F.col(VALUE), wrapper).alias("_env")
@@ -618,7 +652,24 @@ class CdcPipeline:
             stats["hashes"] = got["hashes"]
             unknown = set(got["hashes"] or []) - set(self._known_schemas)
             if unknown:
-                raise SchemaDrift(f"unknown schema hashes in window: {sorted(unknown)}")
+                # register the captured schema docs BEFORE raising: when
+                # every unknown hash carried a schema document the caller
+                # retries this one-pass fast path under the refreshed
+                # union instead of redoing the window on the two-pass
+                # grouped path (schema-less/inference groups still fall
+                # back — the grouped path owns inference)
+                self._register_schema_pairs(
+                    (r["h"], r["s"]) for r in (got["unknown_docs"] or []) if r is not None
+                )
+                still_unknown = unknown - set(self._known_schemas)
+                if still_unknown:
+                    raise SchemaDrift(
+                        f"unknown schema hashes in window: {sorted(still_unknown)}"
+                    )
+                raise SchemaDrift(
+                    f"schemas registered from window capture: {sorted(unknown)}",
+                    retryable=True,
+                )
 
         # two-phase when the DLQ is on: the checkpoint must commit AFTER
         # the capture, or a crash between a checkpointed merge and the
@@ -667,12 +718,23 @@ class CdcPipeline:
         t0 = time.monotonic()
         checkpoint0 = {"batch_id": batch_id, "offset_lo": lo, "offset_hi": hi, **({"writer": self.cfg.writer_id} if self.cfg.writer_id else {})}
         if self._fast_path_eligible():
-            try:
-                out = self._process_fast(raw, checkpoint0, t0)
-                if out is not None:
-                    return out
-            except SchemaDrift:
-                pass  # redo the window on the grouped path below
+            may_retry = True
+            while True:
+                try:
+                    out = self._process_fast(raw, checkpoint0, t0)
+                    if out is not None:
+                        return out
+                    break
+                except SchemaDrift as drift:
+                    # retryable: the DDL window's new schemas were
+                    # captured+registered by the observation — one more
+                    # single-pass attempt under the refreshed union
+                    # (bounded to one retry; anything else falls through
+                    # to the grouped path below)
+                    if may_retry and drift.retryable:
+                        may_retry = False
+                        continue
+                    break  # redo the window on the grouped path below
         # persist=False deliberately: caching the split envelope costs
         # ~20s/batch in columnar cache compression of the raw JSON
         # strings to save a ~1s re-scan (profiled in
