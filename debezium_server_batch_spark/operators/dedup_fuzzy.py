@@ -50,10 +50,17 @@ def minhash_signature(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k=shingle_k)).alias("sh"),
     )
+    # aggregates built as ONE parsed SQL expression each instead of
+    # nested Column calls: constructing num_hashes aggregates through
+    # the Column API costs ~4 py4j round-trips per hash (~0.5 s of
+    # driver time per query build at 32 hashes); F.expr parses the
+    # identical tree in one call (r7; semantics unchanged — literal
+    # ints type as INT either way, so the xxhash64 seeds hash equal)
     mins = rows.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"_h{j}") for j in range(num_hashes)]
+        *[F.expr(f"min(xxhash64({j}, sh)) AS _h{j}") for j in range(num_hashes)]
     )
-    return mins.select("id", F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig"))
+    sig = F.expr("array(" + ", ".join(f"_h{j}" for j in range(num_hashes)) + ") AS sig")
+    return mins.select("id", sig)
 
 
 def cap_by_frequency(df: DataFrame, keys: list[str], max_df: int | None) -> DataFrame:
@@ -552,16 +559,23 @@ def simhash_rows(
     rows = df.select(F.col(id_col).alias("id"), toks)
     th = F.xxhash64(F.col("tok")) if hash == "xxhash64" else md5_token_hash60(F.col("tok"))
     rows = rows.select("id", th.alias("th"))
+    # one parsed SQL expression per vote bit (and one for the packed
+    # sum) instead of ~6 Column-API py4j round-trips each: at width 60
+    # this removes ~1.5 s of pure driver-side query construction (r7;
+    # identical expression trees, values unchanged — asserted against
+    # the Column-API build in tests/test_fuzzy_dedup.py)
     votes = rows.groupBy("id").agg(
         *[
-            F.sum(F.when(F.getbit(F.col("th"), F.lit(b)) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+            F.expr(f"sum(CASE WHEN getbit(th, {b}) = 1 THEN 1 ELSE -1 END) AS _v{b}")
             for b in range(width)
         ]
     )
-    packed = None
-    for b in range(width):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else (packed + term)
+    packed = F.expr(
+        " + ".join(
+            f"(CASE WHEN _v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(width)
+        )
+    )
     return votes.select("id", packed.alias("sh"))
 
 

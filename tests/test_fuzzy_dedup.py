@@ -364,3 +364,58 @@ def test_connected_components_local_matches_distributed(spark):
     }
     assert local == dist
     assert local[12] == 0 and local[35] == 30 and local[100] == 50 and local[77] == 77
+
+
+def test_expr_built_aggregates_match_column_api(spark, docs):
+    """r7 optimization: minhash signatures and simhash votes are built
+    via F.expr (one parse per aggregate) — values must equal the
+    Column-API construction they replaced."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_batch_spark.functions.text import shingles
+    from debezium_server_batch_spark.operators.dedup_fuzzy import (
+        md5_token_hash60,
+        minhash_signature,
+        simhash_rows,
+    )
+
+    rows = docs.select(
+        F.col("doc_id").alias("id"), F.explode(shingles(F.col("text"), k=5)).alias("sh")
+    )
+    mins = rows.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"_h{j}") for j in range(8)]
+    )
+    ref_sig = {
+        r["id"]: list(r["sig"])
+        for r in mins.select(
+            "id", F.array(*[F.col(f"_h{j}") for j in range(8)]).alias("sig")
+        ).collect()
+    }
+    got_sig = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signature(docs, "doc_id", "text", 8, 5).collect()
+    }
+    assert got_sig == ref_sig
+
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    r2 = toks.select("id", md5_token_hash60(F.col("tok")).alias("th"))
+    votes = r2.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.getbit(F.col("th"), F.lit(b)) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+            for b in range(60)
+        ]
+    )
+    packed = None
+    for b in range(60):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else (packed + term)
+    ref_sh = {r["id"]: r["sh"] for r in votes.select("id", packed.alias("sh")).collect()}
+    got_sh = {
+        r["id"]: r["sh"] for r in simhash_rows(docs, "doc_id", "text", hash="md5").collect()
+    }
+    assert got_sh == ref_sh
