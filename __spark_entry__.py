@@ -73,7 +73,7 @@ def _warm_session() -> None:
                 F.xxhash64(*df.columns).cast("decimal(38,0)").alias("h")
             ).agg(F.sum("h")).first()
 
-        d = spark.range(0, 200_000).select(
+        d = spark.range(0, 80_000).select(
             "id",
             (F.col("id") % 97).alias("k"),
             F.concat(F.lit("w "), F.col("id").cast("string"), F.lit(" x y z")).alias("s"),
@@ -100,7 +100,7 @@ def _warm_session() -> None:
         # transform+sequence+slice+concat_ws+md5 chain runs partly
         # interpreted, and its JIT warm-up otherwise lands on the first
         # span query (~1.5 s measured)
-        toks = spark.range(0, 8000).select(
+        toks = spark.range(0, 4000).select(
             "id",
             F.split(
                 F.concat_ws(
