@@ -371,7 +371,16 @@ class CdcPipeline:
         if self.cfg.replay_from is not None:
             # this writer's slice starts here; a checkpoint past it wins
             last = max(last, self.cfg.replay_from - 1)
-        max_offset = self.source.max_offset()
+        # event-balanced mode derives the log head from the same
+        # count+max aggregate window_bounds runs anyway — one log scan
+        # per run instead of two (r7); fixed-width mode keeps the plain
+        # max probe
+        bounds: list[int] | None = None
+        if self.cfg.batch_events is not None:
+            bounds = self.source.window_bounds(last, self.cfg.batch_events)
+            max_offset = bounds[-1] if bounds else None
+        else:
+            max_offset = self.source.max_offset()
         if self.cfg.replay_until is not None and max_offset is not None:
             max_offset = min(max_offset, self.cfg.replay_until)
         batch_id = 0
@@ -384,10 +393,6 @@ class CdcPipeline:
             ckpts = [c for c in (t.checkpoint(w) for t in self._all_tables()) if c]
         if ckpts:
             batch_id = min(c["batch_id"] for c in ckpts) + 1
-
-        bounds: list[int] | None = None
-        if self.cfg.batch_events is not None and max_offset is not None and last < max_offset:
-            bounds = self.source.window_bounds(last, self.cfg.batch_events)
 
         while max_offset is not None and last < max_offset:
             if max_batches is not None and stats.batches >= max_batches:
